@@ -1,0 +1,43 @@
+"""Global numeric configuration.
+
+The parity bar (BASELINE.json:5 — nodal displacements within 1e-8 relative of
+the CPU reference) forces f64 accumulation everywhere on the correctness path,
+so x64 is enabled at import time. The f32 element-kernel / PCG path (Pallas)
+is an explicit, benchmarked opt-in (see SURVEY.md §9 risk 2/5).
+
+Platform facts probed on the dev TPU (jax 0.9.0, TPU v5 lite, SURVEY.md §9
+risk 5):
+  * Pallas kernels are f32-only (XLA's X64 rewrite is unimplemented for
+    ``tpu_custom_call``).
+  * f64 LU (``jnp.linalg.inv/solve``) is unimplemented on TPU — all dense
+    direct solves use Cholesky (K is SPD after Dirichlet reduction) and all
+    3x3 inverses use the explicit adjugate formula (`ops.smallmat`).
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+#: dtype of the correctness/parity path.
+DTYPE = jnp.float64
+
+#: dtype of the performance (Pallas) path.
+FAST_DTYPE = jnp.float32
+
+#: int dtype for all connectivity / index arrays.
+INDEX_DTYPE = jnp.int32
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def pallas_interpret() -> bool:
+    """Pallas kernels run in interpret mode off-TPU (CI runs on CPU)."""
+    return not on_tpu()
