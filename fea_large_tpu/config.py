@@ -14,9 +14,18 @@ risk 5):
     3x3 inverses use the explicit adjugate formula (`ops.smallmat`).
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# The dev image force-registers its TPU platform before user code runs, so
+# plain JAX_PLATFORMS env is ignored; resetting jax_platforms after import is
+# the supported escape hatch. FEA_PLATFORM=cpu forces the CPU backend (used
+# by CI subprocesses and the fake-8-device distributed tests).
+if os.environ.get("FEA_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FEA_PLATFORM"])
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -23,6 +23,7 @@ Element integrals (all verified to FD precision in the survey session):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -41,13 +42,15 @@ class ElementGeometry(NamedTuple):
     detJxW: jnp.ndarray  # [E, q]
 
 
+@partial(jax.jit, static_argnames="elem")
 def precompute_geometry(
     coords: jnp.ndarray, conn: jnp.ndarray, elem: ElementType
 ) -> ElementGeometry:
     """Per-element, per-quad-point material shape gradients and volumes.
 
     J_iso[i,j] = sum_a X[a,i] dN_a/dxi_j;  gradN[a,i] = dN_a/dxi_j (J^-1)[j,i];
-    detJxW = det(J_iso) w_q. (SURVEY.md §5.2.)
+    detJxW = det(J_iso) w_q. (SURVEY.md §5.2.) Jitted: eager per-op dispatch
+    is expensive on remote-tunnel TPU backends.
     """
     Xe = coords[conn]  # [E, npe, 3]
     dN = jnp.asarray(elem.shape_grad, coords.dtype)  # [q, npe, 3]

@@ -1,0 +1,175 @@
+"""Task configuration: the problem-description input (SURVEY.md C14, §7.6).
+
+The reference describes a problem in S-expression task files (mesh, element
+type, material + constants, boundary conditions, load steps, solver
+tolerances). The TPU-native framework mirrors that schema as typed
+dataclasses loaded from JSON (and TOML via tomllib), keeping config an
+explicit argument through the stack — no global flags.
+
+Schema (JSON):
+{
+  "mesh": {"file": "beam.msh"}                      # or {"box": {...}}
+  "element_type": "tet4" | "tet10",
+  "quadrature": null | 1 | 4 | 5,                    # survey ambiguity A2
+  "material": {"model": "svk"|"neo_hookean",
+               "lambda": ..., "mu": ...               # or "E": ..., "nu": ...},
+  "loading": {
+     "n_steps": 3,
+     "dirichlet": [{"set": "zmin", "components": "xyz", "value": 0.0}, ...],
+     "forces":    [{"set": "xmax", "vector": [0, 0, -1.0]}, ...]
+  },
+  "solver": {"linear": "direct"|"pcg"|"pcg_bcsr",
+             "newton_rtol": 1e-10, "newton_atol": 1e-12, "max_newton": 30,
+             "pcg_tol": 1e-12, "pcg_maxiter": 5000, "max_bisections": 5},
+  "partition": {"n_shards": 1},
+  "output": {"dir": "out", "vtk": true, "npz": true}
+}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import numpy as np
+
+from fea_large_tpu.bc import DirichletBC, DirichletBuilder, nodal_forces
+from fea_large_tpu.materials.base import Material, make_material
+from fea_large_tpu.mesh.core import Mesh
+from fea_large_tpu.solvers.newton import SolverOptions
+
+
+@dataclasses.dataclass(frozen=True)
+class DirichletSpec:
+    set: str
+    components: str = "xyz"
+    value: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ForceSpec:
+    set: str
+    vector: tuple = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoadingSpec:
+    n_steps: int = 1
+    dirichlet: tuple = ()
+    forces: tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class OutputSpec:
+    dir: str = "out"
+    vtk: bool = True
+    npz: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionSpec:
+    n_shards: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    """A fully-specified problem; the in-memory form of a task file."""
+
+    mesh: Mesh
+    material: Material
+    loading: LoadingSpec
+    solver: SolverOptions
+    output: OutputSpec
+    partition: PartitionSpec
+    name: str = "task"
+
+    def build_bc(self) -> DirichletBC:
+        b = DirichletBuilder(self.mesh)
+        for d in self.loading.dirichlet:
+            b.prescribe(d.set, d.components, d.value)
+        return b.build()
+
+    def build_forces(self):
+        if not self.loading.forces:
+            return None
+        return nodal_forces(
+            self.mesh, {f.set: list(f.vector) for f in self.loading.forces}
+        )
+
+
+def _build_mesh(spec: dict, element_type: str, base: pathlib.Path) -> Mesh:
+    if "box" in spec:
+        from fea_large_tpu.mesh.generators import box_mesh
+
+        kw = dict(spec["box"])
+        return box_mesh(element_type=element_type, **kw)
+    if "file" in spec:
+        from fea_large_tpu.io.meshio import load_mesh_file
+
+        return load_mesh_file(base / spec["file"], element_type=element_type)
+    raise ValueError("mesh spec needs 'box' or 'file'")
+
+
+def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
+    element_type = data.get("element_type", "tet4")
+    mesh = _build_mesh(data["mesh"], element_type, base)
+    nq = data.get("quadrature")
+    if nq is not None:
+        # bind the requested quadrature rule into the mesh (A2 sweep support)
+        mesh = dataclasses.replace(mesh, n_quad=int(nq))
+    m = dict(data["material"])
+    model = m.pop("model")
+    if "lambda" in m:
+        m["lam"] = m.pop("lambda")
+    material = make_material(model, **m)
+
+    ld = data.get("loading", {})
+    loading = LoadingSpec(
+        n_steps=int(ld.get("n_steps", 1)),
+        dirichlet=tuple(DirichletSpec(**d) for d in ld.get("dirichlet", ())),
+        forces=tuple(
+            ForceSpec(set=f["set"], vector=tuple(f["vector"]))
+            for f in ld.get("forces", ())
+        ),
+    )
+    sv = data.get("solver", {})
+    solver = SolverOptions(
+        linear=sv.get("linear", "pcg"),
+        n_steps=loading.n_steps,
+        newton_rtol=float(sv.get("newton_rtol", 1e-10)),
+        newton_atol=float(sv.get("newton_atol", 1e-12)),
+        max_newton=int(sv.get("max_newton", 30)),
+        pcg_tol=float(sv.get("pcg_tol", 1e-12)),
+        pcg_maxiter=int(sv.get("pcg_maxiter", 5000)),
+        max_bisections=int(sv.get("max_bisections", 5)),
+    )
+    out = data.get("output", {})
+    output = OutputSpec(
+        dir=out.get("dir", "out"),
+        vtk=bool(out.get("vtk", True)),
+        npz=bool(out.get("npz", True)),
+    )
+    part = data.get("partition", {})
+    partition = PartitionSpec(n_shards=int(part.get("n_shards", 1)))
+    return Task(
+        mesh=mesh,
+        material=material,
+        loading=loading,
+        solver=solver,
+        output=output,
+        partition=partition,
+        name=name,
+    )
+
+
+def load_task(path) -> Task:
+    """Load a task from a .json or .toml file."""
+    path = pathlib.Path(path)
+    if path.suffix == ".toml":
+        import tomllib
+
+        data = tomllib.loads(path.read_text())
+    else:
+        data = json.loads(path.read_text())
+    return _parse(data, path.parent, name=path.stem)

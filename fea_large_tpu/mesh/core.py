@@ -34,16 +34,21 @@ class Mesh:
     conn: jnp.ndarray
     element_type: str = "tet4"
     node_sets: dict = dataclasses.field(default_factory=dict)
+    n_quad: int | None = None  # quadrature override (SURVEY.md ambiguity A2)
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        aux = (self.element_type, tuple(sorted(self.node_sets.items(), key=lambda kv: kv[0])))
+        aux = (
+            self.element_type,
+            tuple(sorted(self.node_sets.items(), key=lambda kv: kv[0])),
+            self.n_quad,
+        )
         return (self.coords, self.conn), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        element_type, node_sets = aux
-        return cls(children[0], children[1], element_type, dict(node_sets))
+        element_type, node_sets, n_quad = aux
+        return cls(children[0], children[1], element_type, dict(node_sets), n_quad)
 
     # -- convenience --------------------------------------------------------
     @property
@@ -60,23 +65,50 @@ class Mesh:
 
     @property
     def element(self) -> ElementType:
-        return get_element(self.element_type)
+        return get_element(self.element_type, self.n_quad)
 
     def with_node_sets(self, **sets) -> "Mesh":
         ns = dict(self.node_sets)
         ns.update({k: np.asarray(v, np.int32) for k, v in sets.items()})
         return dataclasses.replace(self, node_sets=ns)
 
+    @property
+    def conn_host(self) -> np.ndarray:
+        """Host (numpy) copy of connectivity, cached: setup code (scatter
+        maps, sparsity, partitioning) runs on host, and device->host
+        transfers have a large first-use latency on tunneled TPU backends."""
+        cached = getattr(self, "_conn_host", None)
+        if cached is None:
+            cached = np.asarray(self.conn)
+            object.__setattr__(self, "_conn_host", cached)
+        return cached
+
+    @property
+    def coords_host(self) -> np.ndarray:
+        cached = getattr(self, "_coords_host", None)
+        if cached is None:
+            cached = np.asarray(self.coords)
+            object.__setattr__(self, "_coords_host", cached)
+        return cached
+
     @staticmethod
     def create(coords, conn, element_type: str, node_sets: dict | None = None) -> "Mesh":
-        coords = jnp.asarray(coords, DTYPE)
-        conn = jnp.asarray(conn, INDEX_DTYPE)
+        coords_np = np.asarray(coords, np.float64)
+        conn_np = np.asarray(conn, np.int32)
         npe = {"tet4": 4, "tet10": 10}[element_type]
-        if conn.shape[1] != npe:
+        if conn_np.shape[1] != npe:
             raise ValueError(
-                f"{element_type} expects {npe} nodes/element, conn has {conn.shape[1]}"
+                f"{element_type} expects {npe} nodes/element, conn has {conn_np.shape[1]}"
             )
-        return Mesh(coords, conn, element_type, dict(node_sets or {}))
+        mesh = Mesh(
+            jnp.asarray(coords_np, DTYPE),
+            jnp.asarray(conn_np, INDEX_DTYPE),
+            element_type,
+            dict(node_sets or {}),
+        )
+        object.__setattr__(mesh, "_conn_host", conn_np)
+        object.__setattr__(mesh, "_coords_host", coords_np)
+        return mesh
 
 
 def make_node_sets(

@@ -1,0 +1,124 @@
+"""Linear solvers: dense Cholesky and Jacobi-preconditioned CG (SURVEY.md
+C11/C12).
+
+* Dense direct (config 1, BASELINE.json:7): masked SPD system via
+  `jax.scipy.linalg.cho_solve`. Cholesky is the ONLY f64 dense factorization
+  available on this TPU (f64 LU unimplemented — SURVEY.md §9 risk 5); K
+  restricted to free DOFs is SPD for the stable problems in scope, so this is
+  also the right factorization.
+
+* PCG (configs 2/4/5, BASELINE.json:8,10,11): `lax.while_loop` over an
+  abstract SPD operator (assembled BCSR SpMV, matrix-free tangent action, or
+  their sharded variants), preconditioned by the inverse nodal 3x3 diagonal
+  blocks (block-Jacobi — the binding preconditioner, BASELINE.json:8; ILU is
+  deliberately NOT ported: sequential triangular solves are TPU-hostile,
+  SURVEY.md C12).
+
+The reference's PCG loop structure (SURVEY.md §4.3) is preserved exactly;
+only the hosting changes (while_loop + fused XLA axpy/dots, `psum` for the
+dots when sharded).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from fea_large_tpu.ops.smallmat import inv3
+
+
+def dense_cholesky_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD A x = b (flattened DOF vectors) by Cholesky."""
+    c, low = jsl.cho_factor(A, lower=True)
+    return jsl.cho_solve((c, low), b)
+
+
+def block_jacobi_preconditioner(
+    diag_blocks: jnp.ndarray, free_mask: jnp.ndarray
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Preconditioner apply from nodal 3x3 diagonal blocks [N,3,3].
+
+    Fixed DOFs are handled by masking: rows/cols of prescribed DOFs are
+    replaced by identity before the 3x3 inversion, so M^{-1} acts as the
+    identity there and preserves the masked-system structure (bc.py).
+    """
+    m = free_mask  # [N, 3]
+    outer = m[:, :, None] * m[:, None, :]
+    eye = jnp.eye(3, dtype=diag_blocks.dtype)
+    masked = diag_blocks * outer + (eye - eye * outer)
+    inv_blocks = inv3(masked)
+
+    def apply(r: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("nij,nj->ni", inv_blocks, r * m) * m
+
+    return apply
+
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray  # solution [N, 3]
+    iterations: jnp.ndarray  # i32 scalar
+    residual_norm: jnp.ndarray  # final ||r||_2
+    converged: jnp.ndarray  # bool scalar
+
+
+def pcg(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    preconditioner: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    x0: jnp.ndarray | None = None,
+    tol: float = 1e-10,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+) -> PCGResult:
+    """Preconditioned conjugate gradients under `lax.while_loop`.
+
+    `matvec` must be the MASKED operator (identity on fixed DOFs) and `b`
+    masked accordingly; then the iterates never leave the free subspace.
+    `dot` is injectable so the sharded path can use a `psum`-reducing dot
+    (SURVEY.md §4.3 "+psum across shards").
+
+    Termination: ||r|| <= max(tol * ||b||, atol), plus a breakdown guard on
+    p^T K p <= 0 (SURVEY.md §7.3).
+    """
+    if preconditioner is None:
+        preconditioner = lambda r: r  # noqa: E731
+    if dot is None:
+        dot = lambda a, c: jnp.vdot(a, c)  # noqa: E731
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    b_norm = jnp.sqrt(dot(b, b))
+    stop = jnp.maximum(tol * b_norm, atol)
+
+    r0 = b - matvec(x0)
+    z0 = preconditioner(r0)
+    rz0 = dot(r0, z0)
+
+    def cond(carry):
+        x, r, z, p, rz, k, ok = carry
+        return ok & (k < maxiter) & (jnp.sqrt(dot(r, r)) > stop)
+
+    def body(carry):
+        x, r, z, p, rz, k, ok = carry
+        q = matvec(p)
+        pq = dot(p, q)
+        ok = ok & (pq > 0.0)  # breakdown guard: K must be SPD
+        alpha = jnp.where(pq > 0.0, rz / pq, 0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = preconditioner(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1, ok)
+
+    init = (x0, r0, z0, z0, rz0, jnp.int32(0), jnp.bool_(True))
+    x, r, _, _, _, k, ok = jax.lax.while_loop(cond, body, init)
+    r_norm = jnp.sqrt(dot(r, r))
+    return PCGResult(
+        x=x, iterations=k, residual_norm=r_norm, converged=ok & (r_norm <= stop)
+    )

@@ -1,0 +1,280 @@
+"""Nonlinear driver: Newton-Raphson with incremental load stepping
+(SURVEY.md C13, §5.6; configs 1-3 of BASELINE.json:7-9).
+
+Control structure mirrors the reference's main solve loop (SURVEY.md §4.1):
+a host-side Python loop over load increments and Newton iterations (a few
+dozen iterations total — host control is free) driving two jitted device
+regions per iteration:
+
+    residual(u, scale)  ->  ||R_free||            (one element pass)
+    step(u, scale)      ->  u + du                (assemble + linear solve)
+
+Auxiliary behaviors required by the spec:
+  * convergence tracking (BASELINE.json:9): per-increment residual history,
+    Newton counts, PCG iteration counts — returned as structured records
+    (SURVEY.md §7.5).
+  * automatic load-step bisection on Newton failure (SURVEY.md §7.3): the
+    increment is halved (up to `max_bisections` times) and retried from the
+    last converged state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from fea_large_tpu.assembly.bcsr import BCSRStructure, assemble_bcsr
+from fea_large_tpu.assembly.dense import assemble_dense, mask_dense_system
+from fea_large_tpu.assembly.matfree import TangentState, apply_tangent
+from fea_large_tpu.assembly.scatter import NodeScatter
+from fea_large_tpu.bc import DirichletBC
+from fea_large_tpu.elements.kernels import (
+    element_diag_blocks,
+    element_internal_force,
+    precompute_geometry,
+)
+from fea_large_tpu.materials.base import Material
+from fea_large_tpu.mesh.core import Mesh
+from fea_large_tpu.solvers.linear import (
+    block_jacobi_preconditioner,
+    dense_cholesky_solve,
+    pcg,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Solver configuration (the reference task file's `solution` section —
+    SURVEY.md C14/§7.6)."""
+
+    linear: str = "pcg"  # "direct" | "pcg" (matrix-free) | "pcg_bcsr"
+    n_steps: int = 1  # load increments
+    newton_rtol: float = 1e-10
+    newton_atol: float = 1e-12
+    max_newton: int = 30
+    pcg_tol: float = 1e-12
+    pcg_maxiter: int = 5000
+    max_bisections: int = 5
+
+
+@dataclasses.dataclass
+class IncrementRecord:
+    """Convergence record for one converged load increment (§7.5)."""
+
+    load_factor: float
+    newton_iters: int
+    residual_norms: list
+    pcg_iters: list
+    wall_time: float
+
+
+@dataclasses.dataclass
+class SolveResult:
+    u: jnp.ndarray  # [N, 3] converged displacement
+    converged: bool
+    history: list  # list[IncrementRecord]
+
+    @property
+    def total_newton_iters(self) -> int:
+        return sum(r.newton_iters for r in self.history)
+
+
+class NewtonSolver:
+    """Total-Lagrangian quasi-static solver for one mesh/material/BC setup.
+
+    Precomputes (host, once): element geometry (gradN, detJxW), the
+    deterministic node scatter map, and — for the BCSR path — the sparsity
+    structure and assembly scatter map (SURVEY.md §4.5).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        material: Material,
+        bc: DirichletBC,
+        f_ext: jnp.ndarray | None = None,
+        options: SolverOptions | None = None,
+    ):
+        self.mesh = mesh
+        self.material = material
+        self.bc = bc
+        self.options = options or SolverOptions()
+        self.element = mesh.element
+        self.geom = precompute_geometry(mesh.coords, mesh.conn, self.element)
+        self.scatter = NodeScatter.build(mesh.conn_host, mesh.n_nodes)
+        self.f_ext = (
+            jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype) if f_ext is None else f_ext
+        )
+        if self.options.linear == "pcg_bcsr":
+            self.bcsr = BCSRStructure.build(mesh.conn_host, mesh.n_nodes)
+        else:
+            self.bcsr = None
+        self._step = {
+            "direct": self._make_step_direct,
+            "pcg": self._make_step_matfree,
+            "pcg_bcsr": self._make_step_bcsr,
+        }[self.options.linear]()
+        self._residual = jax.jit(self._residual_impl)
+
+    # -- jitted pieces -------------------------------------------------------
+    def _internal_force(self, u):
+        fe = element_internal_force(u[self.mesh.conn], self.geom, self.material)
+        return self.scatter(fe)
+
+    def _residual_impl(self, u, scale):
+        r = self.bc.project(scale * self.f_ext - self._internal_force(u))
+        return r, jnp.linalg.norm(r)
+
+    def _make_step_direct(self):
+        @jax.jit
+        def step(u, scale):
+            K, f_int = assemble_dense(u, self.mesh.conn, self.geom, self.material)
+            r = self.bc.project(scale * self.f_ext - f_int)
+            A, b = mask_dense_system(K, r, self.bc.free_mask)
+            du = dense_cholesky_solve(A, b).reshape(u.shape)
+            return u + du, jnp.int32(1), jnp.bool_(True)
+
+        return step
+
+    def _make_step_matfree(self):
+        conn, geom, mat, scatter, bc = (
+            self.mesh.conn,
+            self.geom,
+            self.material,
+            self.scatter,
+            self.bc,
+        )
+
+        @jax.jit
+        def step(u, scale):
+            state, fe = TangentState.freeze(u, conn, geom, mat)
+            f_int = scatter(fe)
+            r = bc.project(scale * self.f_ext - f_int)
+            diag = scatter(element_diag_blocks(u[conn], geom, mat))
+            precond = block_jacobi_preconditioner(diag, bc.free_mask)
+
+            def matvec(v):
+                vm = bc.project(v)
+                return bc.project(
+                    apply_tangent(state, vm, conn, geom, mat, scatter)
+                ) + (v - vm)
+
+            res = pcg(
+                matvec,
+                r,
+                preconditioner=precond,
+                tol=self.options.pcg_tol,
+                maxiter=self.options.pcg_maxiter,
+            )
+            return u + res.x, res.iterations, res.converged
+
+        return step
+
+    def _make_step_bcsr(self):
+        conn, geom, mat, scatter, bc = (
+            self.mesh.conn,
+            self.geom,
+            self.material,
+            self.scatter,
+            self.bc,
+        )
+        structure = self.bcsr
+
+        @jax.jit
+        def step(u, scale):
+            K, f_int = assemble_bcsr(u, conn, geom, mat, structure, scatter)
+            r = bc.project(scale * self.f_ext - f_int)
+            precond = block_jacobi_preconditioner(K.block_diagonal(), bc.free_mask)
+
+            def matvec(v):
+                vm = bc.project(v)
+                return bc.project(K.matvec(vm)) + (v - vm)
+
+            res = pcg(
+                matvec,
+                r,
+                preconditioner=precond,
+                tol=self.options.pcg_tol,
+                maxiter=self.options.pcg_maxiter,
+            )
+            return u + res.x, res.iterations, res.converged
+
+        return step
+
+    # -- host control loop ---------------------------------------------------
+    def _newton(self, u, scale) -> tuple[jnp.ndarray, bool, IncrementRecord]:
+        """Newton iteration at fixed load factor `scale` (§5.6)."""
+        opts = self.options
+        t0 = time.perf_counter()
+        u = self.bc.impose(u, scale)
+        norms, pcg_iters = [], []
+        norm0 = None
+        for it in range(opts.max_newton):
+            _, norm = self._residual(u, scale)
+            norm = float(norm)
+            norms.append(norm)
+            if norm0 is None:
+                norm0 = max(norm, 1e-300)
+            if norm <= max(opts.newton_rtol * norm0, opts.newton_atol):
+                rec = IncrementRecord(
+                    float(scale), it, norms, pcg_iters, time.perf_counter() - t0
+                )
+                return u, True, rec
+            u, lin_iters, lin_ok = self._step(u, scale)
+            pcg_iters.append(int(lin_iters))
+            if not bool(lin_ok):
+                break
+        rec = IncrementRecord(
+            float(scale), len(norms), norms, pcg_iters, time.perf_counter() - t0
+        )
+        return u, False, rec
+
+    def solve(
+        self,
+        u0: jnp.ndarray | None = None,
+        callback=None,
+        start_factor: float = 0.0,
+    ) -> SolveResult:
+        """Incremental loading from `start_factor` to 1 in `n_steps`
+        increments, with automatic bisection on Newton failure (§7.3).
+        `callback(record, u)` fires after each converged increment — the
+        checkpoint hook (§7.4)."""
+        opts = self.options
+        u = (
+            jnp.zeros((self.mesh.n_nodes, 3), self.mesh.coords.dtype)
+            if u0 is None
+            else u0
+        )
+        history: list[IncrementRecord] = []
+        lam = float(start_factor)
+        # nominal increment of the GLOBAL schedule — resume continues the
+        # same load stations as the uninterrupted run (§7.4 bit-match)
+        dlam_nominal = 1.0 / opts.n_steps
+        dlam = dlam_nominal
+        bisections = 0
+        while lam < 1.0 - 1e-12:
+            target = min(lam + dlam, 1.0)
+            u_try, ok, rec = self._newton(u, target)
+            if ok:
+                u, lam = u_try, target
+                history.append(rec)
+                if callback is not None:
+                    callback(rec, u)
+                # recover the nominal increment after a successful bisected step
+                dlam = min(2.0 * dlam, dlam_nominal, 1.0 - lam)
+                if dlam <= 0.0:
+                    dlam = 1.0 - lam
+                bisections = 0
+            else:
+                history.append(rec)
+                bisections += 1
+                if bisections > opts.max_bisections:
+                    return SolveResult(u=u, converged=False, history=history)
+                dlam *= 0.5
+        return SolveResult(u=u, converged=True, history=history)

@@ -1,0 +1,161 @@
+"""I/O-layer tests: task parsing, mesh round-trips, export, checkpoint/resume
+(SURVEY.md C14/C16, §7.4)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fea_large_tpu.io.export import export_npz, export_vtk, load_checkpoint
+from fea_large_tpu.io.meshio import load_gmsh, save_mesh_file
+from fea_large_tpu.io.task import load_task
+from fea_large_tpu.mesh.generators import box_mesh
+
+
+def test_load_task_json(tmp_path):
+    task_file = tmp_path / "t.json"
+    task_file.write_text(
+        json.dumps(
+            {
+                "mesh": {"box": {"nx": 2, "ny": 2, "nz": 2}},
+                "element_type": "tet4",
+                "material": {"model": "svk", "lambda": 1.5, "mu": 0.7},
+                "loading": {
+                    "n_steps": 2,
+                    "dirichlet": [
+                        {"set": "zmin", "components": "xyz", "value": 0.0},
+                        {"set": "zmax", "components": "z", "value": 0.1},
+                    ],
+                },
+                "solver": {"linear": "direct"},
+            }
+        )
+    )
+    task = load_task(task_file)
+    assert task.mesh.n_elements == 40
+    assert float(task.material.lam) == 1.5
+    assert task.solver.n_steps == 2
+    bc = task.build_bc()
+    assert bc.n_fixed > 0
+
+
+def test_quadrature_override(tmp_path):
+    task_file = tmp_path / "t.json"
+    task_file.write_text(
+        json.dumps(
+            {
+                "mesh": {"box": {"nx": 1, "ny": 1, "nz": 1}},
+                "element_type": "tet10",
+                "quadrature": 5,
+                "material": {"model": "neo_hookean", "E": 1.0, "nu": 0.3},
+            }
+        )
+    )
+    task = load_task(task_file)
+    assert task.mesh.element.n_quad == 5
+
+
+@pytest.mark.parametrize("element_type", ["tet4", "tet10"])
+def test_gmsh_roundtrip(tmp_path, element_type):
+    mesh = box_mesh(2, 1, 1, element_type=element_type)
+    path = tmp_path / "m.msh"
+    save_mesh_file(path, mesh)
+    mesh2 = load_gmsh(path)
+    assert mesh2.element_type == element_type
+    np.testing.assert_allclose(mesh2.coords, mesh.coords, atol=1e-15)
+    np.testing.assert_array_equal(np.asarray(mesh2.conn), np.asarray(mesh.conn))
+    # node sets rebuilt from the bounding box must match the generator's
+    for k in mesh.node_sets:
+        np.testing.assert_array_equal(
+            np.sort(mesh2.node_sets[k]), np.sort(mesh.node_sets[k])
+        )
+
+
+def test_vtk_export(tmp_path):
+    mesh = box_mesh(1, 1, 1, element_type="tet4")
+    u = jnp.zeros((mesh.n_nodes, 3)).at[:, 2].set(0.1)
+    path = tmp_path / "out.vtk"
+    export_vtk(path, mesh, u)
+    text = path.read_text()
+    assert "UNSTRUCTURED_GRID" in text
+    assert f"POINTS {mesh.n_nodes} double" in text
+    assert "VECTORS displacement double" in text
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    u = np.random.default_rng(0).standard_normal((10, 3))
+    path = tmp_path / "ckpt.npz"
+    export_npz(path, u, 3, [1.0, 0.1, 1e-8], load_factor=0.6)
+    data = load_checkpoint(path)
+    np.testing.assert_array_equal(data["u"], u)
+    assert float(data["load_factor"]) == 0.6
+
+
+def test_resume_bit_matches_uninterrupted():
+    """SURVEY.md §7.4: resume at step k must bit-match the uninterrupted run
+    (deterministic assembly)."""
+    from fea_large_tpu import NeoHookean
+    from fea_large_tpu.bc import DirichletBuilder
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+    mesh = box_mesh(2, 2, 2, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", 0.2).build()
+    opts = SolverOptions(linear="direct", n_steps=2)
+
+    full = NewtonSolver(mesh, mat, bc, options=opts).solve()
+    assert full.converged
+
+    # run step 1 only, "checkpoint", then resume
+    solver = NewtonSolver(mesh, mat, bc, options=opts)
+    states = []
+    partial = solver.solve(callback=lambda rec, u: states.append((rec.load_factor, u)))
+    assert partial.converged
+    lam0, u0 = states[0]
+    resumed = solver.solve(u0=u0, start_factor=lam0)
+    assert resumed.converged
+    assert np.array_equal(np.asarray(resumed.u), np.asarray(full.u))
+
+
+def test_cli_run_and_resume(tmp_path):
+    """Drive the real CLI end-to-end on a tiny task (SURVEY.md C18)."""
+    task = {
+        "mesh": {"box": {"nx": 2, "ny": 2, "nz": 2}},
+        "element_type": "tet4",
+        "material": {"model": "svk", "E": 2.0, "nu": 0.3},
+        "loading": {
+            "n_steps": 2,
+            "dirichlet": [
+                {"set": "zmin", "components": "xyz", "value": 0.0},
+                {"set": "zmax", "components": "z", "value": 0.15},
+            ],
+        },
+        "solver": {"linear": "direct"},
+        "output": {"dir": str(tmp_path / "out")},
+    }
+    task_file = tmp_path / "tiny.json"
+    task_file.write_text(json.dumps(task))
+    import os
+
+    env = {
+        **os.environ,
+        "FEA_PLATFORM": "cpu",
+        "XLA_FLAGS": os.environ.get("XLA_FLAGS", ""),
+    }
+    proc = subprocess.run(
+        [sys.executable, "-m", "fea_large_tpu", "run", str(task_file)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "converged" in proc.stdout
+    out = tmp_path / "out"
+    conv = json.loads((out / "tiny_convergence.json").read_text())
+    assert conv["converged"] and len(conv["steps"]) == 2
+    assert (out / "tiny_deformed.vtk").exists()
+    assert (out / "tiny_final.npz").exists()

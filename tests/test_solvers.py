@@ -1,0 +1,156 @@
+"""Linear and nonlinear solver tests (SURVEY.md §6)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fea_large_tpu import NeoHookean, StVenantKirchhoff
+from fea_large_tpu.bc import DirichletBuilder, nodal_forces
+from fea_large_tpu.mesh.generators import box_mesh
+from fea_large_tpu.ops.smallmat import inv3
+from fea_large_tpu.solvers.linear import (
+    block_jacobi_preconditioner,
+    dense_cholesky_solve,
+    pcg,
+)
+from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+
+def _random_spd_block_system(rng, n_nodes=40):
+    """Random SPD block system with [N,3] unknowns (SURVEY.md §6: 'PCG vs
+    scipy on random SPD block systems')."""
+    n = 3 * n_nodes
+    B = rng.standard_normal((n, n))
+    A = B @ B.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+def test_dense_cholesky(rng):
+    A, b = _random_spd_block_system(rng)
+    x = dense_cholesky_solve(A, b)
+    np.testing.assert_allclose(A @ x, b, rtol=1e-10, atol=1e-10)
+
+
+def test_pcg_matches_direct(rng):
+    A, b = _random_spd_block_system(rng)
+    n_nodes = b.shape[0] // 3
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    mv = lambda v: (A @ v.reshape(-1)).reshape(n_nodes, 3)  # noqa: E731
+    res = pcg(mv, b.reshape(n_nodes, 3), tol=1e-14, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x.reshape(-1), x_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_pcg_block_jacobi_accelerates(rng):
+    """Block-Jacobi must cut iteration counts on a block-diagonally-dominant
+    system (and still converge to the same solution)."""
+    n_nodes = 60
+    blocks = rng.standard_normal((n_nodes, 3, 3))
+    blocks = np.einsum("nij,nkj->nik", blocks, blocks) + 10.0 * np.eye(3)
+    # off-diagonal coupling
+    C = rng.standard_normal((3 * n_nodes, 3 * n_nodes)) * 0.1
+    A = np.kron(np.eye(n_nodes), np.ones((3, 3))) * 0.0
+    A = C @ C.T * 0.01
+    for i in range(n_nodes):
+        A[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] += blocks[i]
+    A = jnp.asarray(0.5 * (A + A.T))
+    b = jnp.asarray(rng.standard_normal((n_nodes, 3)))
+    mv = lambda v: (A @ v.reshape(-1)).reshape(n_nodes, 3)  # noqa: E731
+
+    diag = jnp.stack([A[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] for i in range(n_nodes)])
+    mask = jnp.ones((n_nodes, 3))
+    precond = block_jacobi_preconditioner(diag, mask)
+
+    plain = pcg(mv, b, tol=1e-12, maxiter=2000)
+    pre = pcg(mv, b, preconditioner=precond, tol=1e-12, maxiter=2000)
+    assert bool(pre.converged)
+    assert int(pre.iterations) <= int(plain.iterations)
+    np.testing.assert_allclose(pre.x, plain.x, rtol=1e-8, atol=1e-8)
+
+
+def test_block_jacobi_respects_mask(rng):
+    diag = jnp.asarray(rng.standard_normal((5, 3, 3)))
+    diag = jnp.einsum("nij,nkj->nik", diag, diag) + 5.0 * jnp.eye(3)
+    mask = jnp.ones((5, 3)).at[0, 1].set(0.0).at[3].set(0.0)
+    precond = block_jacobi_preconditioner(diag, mask)
+    r = jnp.asarray(rng.standard_normal((5, 3)))
+    z = precond(r)
+    assert float(z[0, 1]) == 0.0
+    assert np.all(np.asarray(z[3]) == 0.0)
+    # free rows of an unmasked node see the plain 3x3 inverse
+    z_ref = inv3(diag[1]) @ r[1]
+    np.testing.assert_allclose(z[1], z_ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("linear", ["direct", "pcg", "pcg_bcsr"])
+def test_newton_quadratic_convergence(linear, rng):
+    """SURVEY.md §5.6: residual sequence must contract quadratically on the
+    clamped-stretch unit-cube problem, for every linear-solver backend."""
+    mesh = box_mesh(2, 2, 2, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = (
+        DirichletBuilder(mesh)
+        .fix("zmin")
+        .prescribe("zmax", "z", 0.2)
+        .build()
+    )
+    solver = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(linear=linear, n_steps=1)
+    )
+    result = solver.solve()
+    assert result.converged
+    norms = result.history[-1].residual_norms
+    assert norms[-1] <= 1e-10 * max(norms[0], 1e-300) or norms[-1] < 1e-12
+    # quadratic tail: each of the last contractions at least squares-ish
+    assert len(norms) <= 7  # quadratic convergence reaches 1e-10 fast
+
+
+def test_newton_all_backends_agree(rng):
+    mesh = box_mesh(2, 2, 2, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.5), jnp.asarray(0.9))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.15).build()
+    results = {}
+    for linear in ["direct", "pcg", "pcg_bcsr"]:
+        solver = NewtonSolver(
+            mesh, mat, bc, options=SolverOptions(linear=linear, n_steps=1)
+        )
+        res = solver.solve()
+        assert res.converged, linear
+        results[linear] = np.asarray(res.u)
+    scale = np.abs(results["direct"]).max()
+    for linear in ["pcg", "pcg_bcsr"]:
+        np.testing.assert_allclose(
+            results[linear], results["direct"], rtol=0, atol=1e-9 * scale
+        )
+
+
+def test_newton_with_external_load(rng):
+    """Force-driven problem: cantilever-ish block pulled by nodal forces."""
+    mesh = box_mesh(3, 1, 1, lx=3.0, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(10.0), jnp.asarray(5.0))
+    bc = DirichletBuilder(mesh).fix("xmin").build()
+    f = nodal_forces(mesh, {"xmax": [0.0, 0.0, -0.02]})
+    solver = NewtonSolver(
+        mesh, mat, bc, f_ext=f, options=SolverOptions(linear="direct", n_steps=2)
+    )
+    res = solver.solve()
+    assert res.converged
+    tip = np.asarray(res.u)[np.asarray(mesh.node_sets["xmax"])]
+    assert np.all(tip[:, 2] < 0.0)  # tip deflects downward
+
+
+def test_incremental_loading_records(rng):
+    mesh = box_mesh(2, 2, 2, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", 0.3).build()
+    solver = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(linear="direct", n_steps=3)
+    )
+    res = solver.solve()
+    assert res.converged
+    assert len(res.history) == 3
+    factors = [r.load_factor for r in res.history]
+    np.testing.assert_allclose(factors, [1 / 3, 2 / 3, 1.0], rtol=1e-12)
+    for rec in res.history:
+        assert rec.residual_norms[-1] < rec.residual_norms[0] or rec.residual_norms[0] < 1e-12
