@@ -1,0 +1,119 @@
+"""Headline benchmark (SURVEY.md C21; BASELINE.json:2,5).
+
+Metric: wall-clock per Newton step (assembly + matrix-free Jacobi-PCG) on a
+~1M-DOF TET10 neo-Hookean problem, single chip. Baseline target: 1.0 s
+(BASELINE.json:5, v5p-denominated; the local chip is a v5e — SURVEY.md §8).
+`vs_baseline` = target_seconds / measured_seconds (>1 = faster than the
+1 s/step target).
+
+Prints exactly ONE JSON line. Env overrides: FEA_BENCH_DOF (target DOF
+count, default 1_000_000), FEA_BENCH_REPS (timed repetitions, default 3).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def pick_box_n(target_dof: int) -> int:
+    """Smallest n with a TET10 n^3 box mesh at >= target_dof DOFs.
+    Node count for an n^3 box of 5-tet cells with midside nodes:
+    corners (n+1)^3 plus unique edge midpoints (counted exactly)."""
+    from fea_large_tpu.mesh.generators import box_mesh
+
+    n = 4
+    while True:
+        # cheap closed-form estimate first, verify exactly near the target
+        est_nodes = (n + 1) ** 3 + 7 * n**3  # ~7 unique mid-edges per cell
+        if 3 * est_nodes >= target_dof:
+            mesh = box_mesh(n, n, n, element_type="tet10")
+            if mesh.n_dof >= target_dof or n > 64:
+                return n, mesh
+        n += 1
+
+
+def main():
+    from fea_large_tpu import NeoHookean
+    from fea_large_tpu.bc import DirichletBuilder
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+    target_dof = int(os.environ.get("FEA_BENCH_DOF", 1_000_000))
+    reps = int(os.environ.get("FEA_BENCH_REPS", 3))
+
+    t0 = time.perf_counter()
+    log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
+    n, mesh = pick_box_n(target_dof)
+    log(
+        f"bench: TET10 box n={n}: {mesh.n_nodes} nodes, {mesh.n_elements} "
+        f"elements, {mesh.n_dof} DOFs ({time.perf_counter()-t0:.1f}s)"
+    )
+
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    solver = NewtonSolver(
+        mesh,
+        mat,
+        bc,
+        options=SolverOptions(linear="pcg", pcg_tol=1e-8, pcg_maxiter=2000),
+    )
+    log(f"bench: setup done ({time.perf_counter()-t0:.1f}s)")
+
+    # representative state: a smooth 5% affine compression (consistent with
+    # the BCs), far enough from equilibrium that the step does full-cost
+    # assembly + a realistic PCG iteration count, with an SPD tangent
+    # everywhere (a raw BC jump concentrates 40%+ strain in the top element
+    # layer and makes the tangent indefinite — PCG breaks down by design
+    # there, and the driver handles it by bisection; not a benchmark state).
+    scale = jnp.asarray(1.0, mesh.coords.dtype)
+    u = jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype)
+    u = u.at[:, 2].set(-0.05 * mesh.coords[:, 2])
+    u = solver.bc.impose(u, scale)
+    _, iters, ok = jax.block_until_ready(solver._step(u, scale))
+    log(
+        f"bench: warmup step done, pcg_iters={int(iters)} ok={bool(ok)} "
+        f"({time.perf_counter()-t0:.1f}s)"
+    )
+
+    times = []
+    for r in range(reps):
+        t1 = time.perf_counter()
+        out = jax.block_until_ready(solver._step(u, scale))
+        dt = time.perf_counter() - t1
+        times.append(dt)
+        log(f"bench: rep {r}: {dt:.3f}s (pcg_iters={int(out[1])})")
+    best = min(times)
+
+    target_seconds = 1.0  # BASELINE.json:5 "<1 s per Newton step"
+    print(
+        json.dumps(
+            {
+                "metric": "newton_step_wall_clock_1M_dof_tet10",
+                "value": round(best, 4),
+                "unit": "s",
+                "vs_baseline": round(target_seconds / best, 3),
+                "detail": {
+                    "n_dof": mesh.n_dof,
+                    "n_elements": mesh.n_elements,
+                    "pcg_iters": int(out[1]),
+                    "backend": jax.default_backend(),
+                    "reps": times,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,359 @@
+"""Domain-decomposed solver over a JAX device mesh (SURVEY.md C19/C20, §7.8;
+config 5, BASELINE.json:11).
+
+TPU-native distribution: a 1-D `jax.sharding.Mesh` ("shard" axis), all
+per-shard arrays laid out [S, ...] and `shard_map`-ped; communication is
+exactly three XLA collectives, riding ICI:
+
+  * halo GATHER  — `lax.ppermute` ring hops k=1..kmax delivering owned
+    values to the shards whose elements touch them (PCG SpMV input);
+  * halo REDUCE  — reverse `ppermute` hops returning partial element sums at
+    halo nodes to their owners (assembly "halo reduce-scatter", B:5);
+  * `lax.psum`  — PCG dot products and residual norms.
+
+The element kernels, matrix-free tangent, block-Jacobi PCG are the SAME
+functions as the single-device path (`elements.kernels`,
+`assembly.matfree`, `solvers.linear.pcg`) applied to shard-local arrays —
+the distributed layer only adds the exchange, which is how the halo maps
+get to be testable in isolation (tests/test_dist.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import NamedTuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh as JaxMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fea_large_tpu.assembly.matfree import TangentState, apply_tangent
+from fea_large_tpu.assembly.scatter import NodeScatter
+from fea_large_tpu.bc import DirichletBC
+from fea_large_tpu.config import DTYPE, INDEX_DTYPE
+from fea_large_tpu.dist.partition import Partition, partition_mesh
+from fea_large_tpu.elements.kernels import element_diag_blocks
+from fea_large_tpu.materials.base import Material
+from fea_large_tpu.mesh.core import Mesh
+from fea_large_tpu.solvers.linear import block_jacobi_preconditioner, pcg
+from fea_large_tpu.solvers.newton import IncrementRecord, SolveResult, SolverOptions
+
+
+class ShardedData(NamedTuple):
+    """Device-resident per-shard arrays (leading axis = shard axis S)."""
+
+    local_conn: jnp.ndarray  # i32[S, El, npe]
+    gradN: jnp.ndarray  # f64[S, El, q, npe, 3]
+    detJxW: jnp.ndarray  # f64[S, El, q] (0 on padded elements)
+    scatter_perm: jnp.ndarray  # i32[S, El*npe]
+    scatter_segids: jnp.ndarray  # i32[S, El*npe]
+    send_idx: jnp.ndarray  # i32[S, kmax, Hl]
+    send_mask: jnp.ndarray  # f64[S, kmax, Hl]
+    recv_mask: jnp.ndarray  # f64[S, kmax, Hl]
+    own_mask: jnp.ndarray  # f64[S, No]
+    free_mask: jnp.ndarray  # f64[S, No, 3]
+    bc_values: jnp.ndarray  # f64[S, No, 3]
+    f_ext: jnp.ndarray  # f64[S, No, 3]
+
+
+def _host_geometry(mesh: Mesh, part: Partition):
+    """Shard-ordered padded (gradN, detJxW) computed in host numpy (cold
+    path; avoids device round-trips during setup — SURVEY.md §4.5)."""
+    elem = mesh.element
+    coords, conn = mesh.coords_host, mesh.conn_host
+    dN = np.asarray(elem.shape_grad)  # [q, npe, 3]
+    w = np.asarray(elem.quad_weights)
+    Xe = coords[conn]  # [E, npe, 3]
+    J = np.einsum("eai,qaj->eqij", Xe, dN)
+    detJ = np.linalg.det(J)
+    gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))
+    detJxW = detJ * w[None, :]
+
+    S, El = part.n_shards, part.n_elems
+    q, npe = dN.shape[0], conn.shape[1]
+    g = np.zeros((S, El, q, npe, 3))
+    v = np.zeros((S, El, q))
+    for p in range(S):
+        real = part.elem_global[p] >= 0
+        ids = part.elem_global[p][real]
+        g[p, real] = gradN[ids]
+        v[p, real] = detJxW[ids]
+    return g, v
+
+
+def _local_scatter_maps(part: Partition):
+    """Per-shard sorted segment-sum maps into the local node space
+    (deterministic assembly, SURVEY.md §7.2), stacked over shards."""
+    S, El, npe = part.local_conn.shape
+    perms = np.zeros((S, El * npe), np.int32)
+    segids = np.zeros((S, El * npe), np.int32)
+    for p in range(S):
+        flat = part.local_conn[p].reshape(-1)
+        perm = np.argsort(flat, kind="stable")
+        perms[p] = perm
+        segids[p] = flat[perm]
+    return perms, segids
+
+
+@dataclasses.dataclass
+class ShardedNewtonSolver:
+    """Drop-in distributed analog of `solvers.newton.NewtonSolver` using the
+    matrix-free Jacobi-PCG backend over a device mesh. The host control loop
+    (incremental loading, bisection, records) is identical; the jitted step
+    is `shard_map`-ped with halo collectives."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        material: Material,
+        bc: DirichletBC,
+        f_ext: jnp.ndarray | None = None,
+        options: SolverOptions | None = None,
+        devices=None,
+    ):
+        self.mesh = mesh
+        self.material = material
+        self.options = options or SolverOptions()
+        devices = list(jax.devices()) if devices is None else list(devices)
+        S = len(devices)
+        self.part = partition_mesh(mesh, S)
+        part = self.part
+
+        gradN, detJxW = _host_geometry(mesh, part)
+        perms, segids = _local_scatter_maps(part)
+        own3 = part.own_mask[:, :, None]
+        free = part.from_global(np.asarray(bc.free_mask)) * own3
+        vals = part.from_global(np.asarray(bc.values)) * own3
+        fext = (
+            np.zeros((S, part.n_owned, 3))
+            if f_ext is None
+            else part.from_global(np.asarray(f_ext)) * own3
+        )
+
+        self.jmesh = JaxMesh(np.array(devices), ("shard",))
+        sh = NamedSharding(self.jmesh, P("shard"))
+
+        def put(x, dtype):
+            return jax.device_put(jnp.asarray(x, dtype), sh)
+
+        self.data = ShardedData(
+            local_conn=put(part.local_conn, INDEX_DTYPE),
+            gradN=put(gradN, DTYPE),
+            detJxW=put(detJxW, DTYPE),
+            scatter_perm=put(perms, INDEX_DTYPE),
+            scatter_segids=put(segids, INDEX_DTYPE),
+            send_idx=put(part.send_idx, INDEX_DTYPE),
+            send_mask=put(part.send_mask, DTYPE),
+            recv_mask=put(part.recv_mask, DTYPE),
+            own_mask=put(part.own_mask, DTYPE),
+            free_mask=put(free, DTYPE),
+            bc_values=put(vals, DTYPE),
+            f_ext=put(fext, DTYPE),
+        )
+        self._sharding = sh
+        self._build_programs()
+
+    # ------------------------------------------------------------------
+    def _build_programs(self):
+        part, opts = self.part, self.options
+        S, No, Hl, kmax = part.n_shards, part.n_owned, part.n_halo, part.kmax
+        material = self.material
+        elem = self.mesh.element
+        n_local = No + Hl
+        fwd = [[(i, (i + k) % S) for i in range(S)] for k in range(1, kmax + 1)]
+        bwd = [[(i, (i - k) % S) for i in range(S)] for k in range(1, kmax + 1)]
+
+        from fea_large_tpu.elements.kernels import ElementGeometry
+
+        def _bmask(m, x):
+            """Broadcast a [Hl] mask over the trailing dims of x [Hl, ...]."""
+            return m.reshape(m.shape[0], *([1] * (x.ndim - 1)))
+
+        def halo_gather(d: ShardedData, x_own):
+            """[No, ...] owned -> [Hl, ...] halo values pulled from owners."""
+            h = jnp.zeros((Hl, *x_own.shape[1:]), x_own.dtype)
+            for k in range(kmax):
+                buf = x_own[d.send_idx[k]] * _bmask(d.send_mask[k], x_own)
+                buf = lax.ppermute(buf, "shard", fwd[k])
+                h = h + buf * _bmask(d.recv_mask[k], h)
+            return h
+
+        def halo_reduce(d: ShardedData, partials):
+            """[Hl, ...] partial sums at halo slots -> [No, ...] at owners."""
+            y = jnp.zeros((No, *partials.shape[1:]), partials.dtype)
+            for k in range(kmax):
+                buf = partials * _bmask(d.recv_mask[k], partials)
+                buf = lax.ppermute(buf, "shard", bwd[k])
+                y = y.at[d.send_idx[k]].add(buf * _bmask(d.send_mask[k], buf))
+            return y
+
+        def local_scatter(d: ShardedData):
+            def scatter(values):
+                flat = values.reshape(-1, *values.shape[2:])
+                return jax.ops.segment_sum(
+                    flat[d.scatter_perm],
+                    d.scatter_segids,
+                    num_segments=n_local,
+                    indices_are_sorted=True,
+                )
+
+            return scatter
+
+        def pdot(a, b):
+            return lax.psum(jnp.vdot(a, b), "shard")
+
+        def _squeeze(d: ShardedData) -> ShardedData:
+            return ShardedData(*(x[0] for x in d))
+
+        def step_body(d, u_own, scale):
+            d = _squeeze(d)
+            u_own, scale = u_own[0], scale[()]
+            geom = ElementGeometry(gradN=d.gradN, detJxW=d.detJxW)
+            scatter = local_scatter(d)
+
+            u_full = jnp.concatenate([u_own, halo_gather(d, u_own)], axis=0)
+            state, fe = TangentState.freeze(u_full, d.local_conn, geom, material)
+            f_loc = scatter(fe)
+            f_own = f_loc[:No] + halo_reduce(d, f_loc[No:])
+            r = (scale * d.f_ext - f_own) * d.free_mask
+
+            diag_e = element_diag_blocks(u_full[d.local_conn], geom, material)
+            diag_loc = scatter(diag_e)
+            diag = diag_loc[:No] + halo_reduce(d, diag_loc[No:])
+            precond = block_jacobi_preconditioner(diag, d.free_mask)
+
+            def matvec(v):
+                vm = v * d.free_mask
+                v_full = jnp.concatenate([vm, halo_gather(d, vm)], axis=0)
+                y_loc = apply_tangent(
+                    state, v_full, d.local_conn, geom, material, scatter
+                )
+                y = y_loc[:No] + halo_reduce(d, y_loc[No:])
+                return y * d.free_mask + (v - vm)
+
+            res = pcg(
+                matvec,
+                r,
+                preconditioner=precond,
+                tol=opts.pcg_tol,
+                maxiter=opts.pcg_maxiter,
+                dot=pdot,
+            )
+            u_new = u_own + res.x
+            return u_new[None], res.iterations, res.converged
+
+        def residual_body(d, u_own, scale):
+            d = _squeeze(d)
+            u_own, scale = u_own[0], scale[()]
+            geom = ElementGeometry(gradN=d.gradN, detJxW=d.detJxW)
+            scatter = local_scatter(d)
+            u_full = jnp.concatenate([u_own, halo_gather(d, u_own)], axis=0)
+            _, fe = TangentState.freeze(u_full, d.local_conn, geom, material)
+            f_loc = scatter(fe)
+            f_own = f_loc[:No] + halo_reduce(d, f_loc[No:])
+            r = (scale * d.f_ext - f_own) * d.free_mask
+            return jnp.sqrt(pdot(r, r))
+
+        def impose_body(d, u_own, scale):
+            d = _squeeze(d)
+            u_own, scale = u_own[0], scale[()]
+            u = d.free_mask * u_own + (1.0 - d.free_mask) * (scale * d.bc_values)
+            return u[None]
+
+        data_specs = ShardedData(*([P("shard")] * len(ShardedData._fields)))
+        mesh = self.jmesh
+
+        self._step = jax.jit(
+            shard_map(
+                step_body,
+                mesh=mesh,
+                in_specs=(data_specs, P("shard"), P()),
+                out_specs=(P("shard"), P(), P()),
+                check_vma=False,
+            )
+        )
+        self._residual = jax.jit(
+            shard_map(
+                residual_body,
+                mesh=mesh,
+                in_specs=(data_specs, P("shard"), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        self._impose = jax.jit(
+            shard_map(
+                impose_body,
+                mesh=mesh,
+                in_specs=(data_specs, P("shard"), P()),
+                out_specs=P("shard"),
+                check_vma=False,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def zero_u(self) -> jnp.ndarray:
+        z = jnp.zeros((self.part.n_shards, self.part.n_owned, 3), DTYPE)
+        return jax.device_put(z, self._sharding)
+
+    def u_global(self, u_own) -> np.ndarray:
+        return self.part.to_global(np.asarray(u_own), self.mesh.n_nodes)
+
+    def _newton(self, u, scale):
+        opts = self.options
+        t0 = time.perf_counter()
+        scale_arr = jnp.asarray(scale, DTYPE)
+        u = self._impose(self.data, u, scale_arr)
+        norms, pcg_iters = [], []
+        norm0 = None
+        for it in range(opts.max_newton):
+            norm = float(self._residual(self.data, u, scale_arr))
+            norms.append(norm)
+            if norm0 is None:
+                norm0 = max(norm, 1e-300)
+            if norm <= max(opts.newton_rtol * norm0, opts.newton_atol):
+                rec = IncrementRecord(
+                    float(scale), it, norms, pcg_iters, time.perf_counter() - t0
+                )
+                return u, True, rec
+            u, lin_iters, lin_ok = self._step(self.data, u, scale_arr)
+            pcg_iters.append(int(lin_iters))
+            if not bool(lin_ok):
+                break
+        rec = IncrementRecord(
+            float(scale), len(norms), norms, pcg_iters, time.perf_counter() - t0
+        )
+        return u, False, rec
+
+    def solve(self, u0=None, callback=None, start_factor: float = 0.0) -> SolveResult:
+        opts = self.options
+        u = self.zero_u() if u0 is None else u0
+        history = []
+        lam = float(start_factor)
+        dlam_nominal = 1.0 / opts.n_steps
+        dlam = dlam_nominal
+        bisections = 0
+        while lam < 1.0 - 1e-12:
+            target = min(lam + dlam, 1.0)
+            u_try, ok, rec = self._newton(u, target)
+            if ok:
+                u, lam = u_try, target
+                history.append(rec)
+                if callback is not None:
+                    callback(rec, u)
+                dlam = min(2.0 * dlam, dlam_nominal, 1.0 - lam)
+                if dlam <= 0.0:
+                    dlam = 1.0 - lam
+                bisections = 0
+            else:
+                history.append(rec)
+                bisections += 1
+                if bisections > opts.max_bisections:
+                    return SolveResult(u=u, converged=False, history=history)
+                dlam *= 0.5
+        return SolveResult(u=u, converged=True, history=history)

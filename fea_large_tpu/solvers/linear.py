@@ -97,13 +97,17 @@ def pcg(
     r0 = b - matvec(x0)
     z0 = preconditioner(r0)
     rz0 = dot(r0, z0)
+    rr0 = dot(r0, r0)
 
+    # ||r||^2 is carried in the loop state (computed in the body, where the
+    # reduction — a `psum` on the sharded path — is legal) so the `cond`
+    # predicate is collective-free.
     def cond(carry):
-        x, r, z, p, rz, k, ok = carry
-        return ok & (k < maxiter) & (jnp.sqrt(dot(r, r)) > stop)
+        x, r, z, p, rz, rr, k, ok = carry
+        return ok & (k < maxiter) & (jnp.sqrt(rr) > stop)
 
     def body(carry):
-        x, r, z, p, rz, k, ok = carry
+        x, r, z, p, rz, rr, k, ok = carry
         q = matvec(p)
         pq = dot(p, q)
         ok = ok & (pq > 0.0)  # breakdown guard: K must be SPD
@@ -112,13 +116,14 @@ def pcg(
         r = r - alpha * q
         z = preconditioner(r)
         rz_new = dot(r, z)
+        rr_new = dot(r, r)
         beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1, ok)
+        return (x, r, z, p, rz_new, rr_new, k + 1, ok)
 
-    init = (x0, r0, z0, z0, rz0, jnp.int32(0), jnp.bool_(True))
-    x, r, _, _, _, k, ok = jax.lax.while_loop(cond, body, init)
-    r_norm = jnp.sqrt(dot(r, r))
+    init = (x0, r0, z0, z0, rz0, rr0, jnp.int32(0), jnp.bool_(True))
+    x, r, _, _, _, rr, k, ok = jax.lax.while_loop(cond, body, init)
+    r_norm = jnp.sqrt(rr)
     return PCGResult(
         x=x, iterations=k, residual_norm=r_norm, converged=ok & (r_norm <= stop)
     )

@@ -132,7 +132,6 @@ class NewtonSolver:
         return r, jnp.linalg.norm(r)
 
     def _make_step_direct(self):
-        @jax.jit
         def step(u, scale):
             K, f_int = assemble_dense(u, self.mesh.conn, self.geom, self.material)
             r = self.bc.project(scale * self.f_ext - f_int)
@@ -140,7 +139,8 @@ class NewtonSolver:
             du = dense_cholesky_solve(A, b).reshape(u.shape)
             return u + du, jnp.int32(1), jnp.bool_(True)
 
-        return step
+        self.step_fn = step  # raw (unjitted) — compile-checkable by callers
+        return jax.jit(step)
 
     def _make_step_matfree(self):
         conn, geom, mat, scatter, bc = (
@@ -151,7 +151,6 @@ class NewtonSolver:
             self.bc,
         )
 
-        @jax.jit
         def step(u, scale):
             state, fe = TangentState.freeze(u, conn, geom, mat)
             f_int = scatter(fe)
@@ -174,7 +173,8 @@ class NewtonSolver:
             )
             return u + res.x, res.iterations, res.converged
 
-        return step
+        self.step_fn = step
+        return jax.jit(step)
 
     def _make_step_bcsr(self):
         conn, geom, mat, scatter, bc = (
@@ -186,7 +186,6 @@ class NewtonSolver:
         )
         structure = self.bcsr
 
-        @jax.jit
         def step(u, scale):
             K, f_int = assemble_bcsr(u, conn, geom, mat, structure, scatter)
             r = bc.project(scale * self.f_ext - f_int)
@@ -205,7 +204,8 @@ class NewtonSolver:
             )
             return u + res.x, res.iterations, res.converged
 
-        return step
+        self.step_fn = step
+        return jax.jit(step)
 
     # -- host control loop ---------------------------------------------------
     def _newton(self, u, scale) -> tuple[jnp.ndarray, bool, IncrementRecord]:

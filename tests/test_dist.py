@@ -1,0 +1,153 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh (SURVEY.md §6
+"distributed tests without a cluster"): partition invariants, halo-exchange
+correctness, and sharded-vs-single-device solution parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fea_large_tpu import NeoHookean, StVenantKirchhoff
+from fea_large_tpu.bc import DirichletBuilder, nodal_forces
+from fea_large_tpu.dist.partition import partition_mesh
+from fea_large_tpu.dist.sharded import ShardedNewtonSolver
+from fea_large_tpu.mesh.generators import box_mesh
+from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+
+def _devices(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices, have {len(devs)}")
+    return devs[:n]
+
+
+# ---------------------------------------------------------------------------
+# partition invariants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("element_type,n_shards", [("tet4", 4), ("tet10", 8), ("tet4", 3)])
+def test_partition_invariants(element_type, n_shards):
+    mesh = box_mesh(4, 3, 3, lx=4.0, element_type=element_type)
+    part = partition_mesh(mesh, n_shards)
+    conn = mesh.conn_host
+
+    # every element appears exactly once
+    all_elems = part.elem_global[part.elem_global >= 0]
+    assert sorted(all_elems.tolist()) == list(range(mesh.n_elements))
+
+    # every node owned exactly once
+    all_owned = part.owned_global[part.owned_global >= 0]
+    assert sorted(all_owned.tolist()) == list(range(mesh.n_nodes))
+
+    # local_conn maps back to the correct global nodes
+    for p in range(part.n_shards):
+        gids = np.concatenate([part.owned_global[p], part.halo_global[p]])
+        for row, e in enumerate(part.elem_global[p]):
+            if e < 0:
+                continue
+            np.testing.assert_array_equal(gids[part.local_conn[p, row]], conn[e])
+
+    # halo nodes are owned by lower-numbered shards (slab ownership rule)
+    for p in range(part.n_shards):
+        halos = part.halo_global[p][part.halo_global[p] >= 0]
+        owner = np.full(mesh.n_nodes, -1)
+        for q in range(part.n_shards):
+            og = part.owned_global[q][part.owned_global[q] >= 0]
+            owner[og] = q
+        assert np.all(owner[halos] < p)
+
+    # hop maps: each real halo slot is covered exactly once across hops
+    for p in range(part.n_shards):
+        cover = part.recv_mask[p].sum(axis=0)
+        real = part.halo_global[p] >= 0
+        np.testing.assert_array_equal(cover[real], 1.0)
+        np.testing.assert_array_equal(cover[~real], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end sharded parity vs single-device
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_matches_single_device_tet4(n_shards, rng):
+    devs = _devices(n_shards)
+    mesh = box_mesh(4, 2, 2, lx=4.0, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", 0.2).build()
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+
+    ref = NewtonSolver(mesh, mat, bc, options=opts).solve()
+    assert ref.converged
+
+    sharded = ShardedNewtonSolver(mesh, mat, bc, options=opts, devices=devs)
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
+
+
+def test_sharded_matches_single_device_tet10_nh(rng):
+    devs = _devices(4)
+    mesh = box_mesh(3, 2, 2, lx=3.0, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", -0.1).build()
+    opts = SolverOptions(linear="pcg", n_steps=2, pcg_tol=1e-13)
+
+    ref = NewtonSolver(mesh, mat, bc, options=opts).solve()
+    assert ref.converged
+    sharded = ShardedNewtonSolver(mesh, mat, bc, options=opts, devices=devs)
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
+
+
+def test_sharded_single_shard_degenerate(rng):
+    """1-device mesh: the sharded code path itself must run everywhere
+    (SURVEY.md §6(c))."""
+    devs = _devices(1)
+    mesh = box_mesh(2, 2, 2, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", 0.1).build()
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+    ref = NewtonSolver(mesh, mat, bc, options=opts).solve()
+    sharded = ShardedNewtonSolver(mesh, mat, bc, options=opts, devices=devs)
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-12 * scale)
+
+
+def test_sharded_deterministic_repeat(rng):
+    """Same solve twice -> bitwise-identical displacements (deterministic
+    assembly + fixed halo reduction order, SURVEY.md §7.2)."""
+    devs = _devices(4)
+    mesh = box_mesh(3, 2, 2, lx=3.0, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", 0.15).build()
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+    s1 = ShardedNewtonSolver(mesh, mat, bc, options=opts, devices=devs).solve()
+    s2 = ShardedNewtonSolver(mesh, mat, bc, options=opts, devices=devs).solve()
+    assert np.array_equal(np.asarray(s1.u), np.asarray(s2.u))
+
+
+def test_sharded_with_external_forces(rng):
+    devs = _devices(4)
+    mesh = box_mesh(4, 1, 1, lx=4.0, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(10.0), jnp.asarray(5.0))
+    bc = DirichletBuilder(mesh).fix("xmin").build()
+    f = nodal_forces(mesh, {"xmax": [0.0, 0.0, -0.02]})
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+    ref = NewtonSolver(mesh, mat, bc, f_ext=f, options=opts).solve()
+    sharded = ShardedNewtonSolver(mesh, mat, bc, f_ext=f, options=opts, devices=devs)
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
