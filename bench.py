@@ -62,11 +62,20 @@ def main():
 
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
     bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    # precision="mixed": f32 tangent/PCG (the TPU MXU path) + f64 residual;
+    # converges to the same fixed point as f64 (tests/test_solvers.py).
+    # FEA_BENCH_PRECISION=f64 benches the pure parity path instead.
+    precision = os.environ.get("FEA_BENCH_PRECISION", "mixed")
     solver = NewtonSolver(
         mesh,
         mat,
         bc,
-        options=SolverOptions(linear="pcg", pcg_tol=1e-8, pcg_maxiter=2000),
+        options=SolverOptions(
+            linear="pcg",
+            precision=precision,
+            pcg_tol=1e-6 if precision == "mixed" else 1e-8,
+            pcg_maxiter=2000,
+        ),
     )
     log(f"bench: setup done ({time.perf_counter()-t0:.1f}s)")
 

@@ -17,7 +17,6 @@ Storage (block rows = nodes, 3x3 blocks):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -28,8 +27,14 @@ from fea_large_tpu.elements.kernels import ElementGeometry, element_stiffness
 from fea_large_tpu.materials.base import Material
 
 
-class BCSRStructure(NamedTuple):
-    """Static sparsity + precomputed assembly scatter map for one mesh."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BCSRStructure:
+    """Static sparsity + precomputed assembly scatter map for one mesh.
+
+    A pytree (arrays as leaves, static sizes as aux) so it can be a jit
+    ARGUMENT — closure-capturing these multi-MB maps would bake them into
+    the traced program as constants (slow trace/compile)."""
 
     indptr: jnp.ndarray  # i32[N+1]
     indices: jnp.ndarray  # i32[nnzb] block-column per slot
@@ -38,6 +43,16 @@ class BCSRStructure(NamedTuple):
     segment_ids: jnp.ndarray  # i32[E*npe*npe] slot id per sorted entry
     n_nodes: int  # static
     nnzb: int  # static
+
+    def tree_flatten(self):
+        return (
+            (self.indptr, self.indices, self.row_ids, self.perm, self.segment_ids),
+            (self.n_nodes, self.nnzb),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     @staticmethod
     def build(conn: np.ndarray, n_nodes: int) -> "BCSRStructure":
@@ -88,11 +103,11 @@ class BCSRMatrix:
     data: jnp.ndarray  # [nnzb, 3, 3]
 
     def tree_flatten(self):
-        return (self.data,), self.structure
+        return (self.structure, self.data), None
 
     @classmethod
-    def tree_unflatten(cls, structure, children):
-        return cls(structure, children[0])
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1])
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y [N,3] = K x, x [N,3]. Pure-XLA path: per-block 3x3 matvec +

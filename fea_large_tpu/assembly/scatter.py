@@ -8,11 +8,16 @@ are sorted by global node id ONCE at setup, and runtime assembly is a sorted
 `segment_sum` — a fixed, deterministic reduction order on every backend,
 which makes multi-device runs bitwise comparable to single-device runs
 (SURVEY.md §6 "distributed tests").
+
+`NodeScatter` is a pytree (arrays as leaves, the static node count as aux)
+so it is passed as a jit ARGUMENT, never closure-captured: multi-MB captured
+constants make tracing/compilation pathologically slow and bloat the
+executable.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import numpy as np
 import jax
@@ -21,13 +26,22 @@ import jax.numpy as jnp
 from fea_large_tpu.config import INDEX_DTYPE
 
 
-class NodeScatter(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class NodeScatter:
     """Precomputed sorted scatter map from element-local nodal quantities
     [E, npe, ...] to global nodal arrays [n_nodes, ...]."""
 
     perm: jnp.ndarray  # i32[E*npe] stable sort of flattened (e,a) by node id
     segment_ids: jnp.ndarray  # i32[E*npe] node id per sorted slot (ascending)
     n_nodes: int  # static
+
+    def tree_flatten(self):
+        return (self.perm, self.segment_ids), self.n_nodes
+
+    @classmethod
+    def tree_unflatten(cls, n_nodes, children):
+        return cls(children[0], children[1], n_nodes)
 
     @staticmethod
     def build(conn: np.ndarray, n_nodes: int) -> "NodeScatter":

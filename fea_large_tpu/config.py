@@ -27,6 +27,13 @@ jax.config.update("jax_enable_x64", True)
 if os.environ.get("FEA_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["FEA_PLATFORM"])
 
+# Persistent compilation cache: XLA compiles of large f64 graphs are
+# multi-minute on the tunneled TPU backend; cache them across processes.
+_cache_dir = os.environ.get("FEA_COMPILE_CACHE", "/tmp/fea_jax_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp  # noqa: E402
 
 #: dtype of the correctness/parity path.

@@ -71,14 +71,14 @@ def _stress_state(ue, gradN, material: Material):
     F = deformation_gradient(ue, gradN)
     C = jnp.einsum("eqiI,eqiJ->eqIJ", F, F)  # F^T F
     S, state = material.pk2_and_state(C)
-    return F, S, state
+    return F, C, S, state
 
 
 def element_internal_force(
     ue: jnp.ndarray, geom: ElementGeometry, material: Material
 ) -> jnp.ndarray:
     """fe [E, npe, 3]: fe[a,i] = sum_q V_q (F S)_iJ gradN[a,J]."""
-    F, S, _ = _stress_state(ue, geom.gradN, material)
+    F, _, S, _ = _stress_state(ue, geom.gradN, material)
     P = jnp.einsum("eqiI,eqIJ->eqiJ", F, S)  # 1st Piola-Kirchhoff
     return jnp.einsum("eq,eqiJ,eqaJ->eai", geom.detJxW, P, geom.gradN)
 
@@ -100,6 +100,25 @@ def _tangent_contract(material, state, D):
     return jnp.moveaxis(Y, (0, 1), (2, 3))  # [E, q, a, i, 3, 3]
 
 
+def _iso_stiffness_pieces(F, gradN, alpha, A, beta):
+    """Factored material-tangent building blocks (CC = alpha A(x)A + beta
+    II_A — `Material.iso_tangent_factors`):
+
+      s[a,i]  = (F A)_iJ g_a[J]          [E,q,npe,3]
+      B_ik    = (F A F^T)_ik             [E,q,3,3]
+      G_ab    = g_a . A . g_b            [E,q,npe,npe]
+
+    so that  D_ai : CC : D_bk = alpha s_ai s_bk
+                              + beta/2 (B_ik G_ab + s_ak s_bi).
+    Memory stays O(npe^2 + npe*3) per quad point — no rank-6 probes.
+    """
+    FA = jnp.einsum("eqiI,eqIJ->eqiJ", F, A)
+    s = jnp.einsum("eqiJ,eqaJ->eqai", FA, gradN)
+    B = jnp.einsum("eqiJ,eqkJ->eqik", FA, F)
+    G = jnp.einsum("eqaI,eqIJ,eqbJ->eqab", gradN, A, gradN)
+    return s, B, G
+
+
 def element_stiffness(
     ue: jnp.ndarray, geom: ElementGeometry, material: Material
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -107,13 +126,23 @@ def element_stiffness(
     material + geometric terms and the internal force (SURVEY.md §5.5).
     """
     gradN, V = geom.gradN, geom.detJxW
-    F, S, state = _stress_state(ue, gradN, material)
+    F, C, S, state = _stress_state(ue, gradN, material)
     P = jnp.einsum("eqiI,eqIJ->eqiJ", F, S)
     fe = jnp.einsum("eq,eqiJ,eqaJ->eai", V, P, gradN)
 
-    D = _tangent_probe(F, gradN)  # [E,q,a,i,3,3]
-    Y = _tangent_contract(material, state, D)  # CC : sym(D)
-    Ke_mat = jnp.einsum("eq,eqaiIJ,eqbkIJ->eaibk", V, D, Y)
+    factors = material.iso_tangent_factors(state, C)
+    if factors is not None:
+        alpha, A, beta = factors
+        s, B, G = _iso_stiffness_pieces(F, gradN, alpha, A, beta)
+        Ke_mat = (
+            jnp.einsum("eq,eqai,eqbk->eaibk", V * alpha, s, s)
+            + 0.5 * jnp.einsum("eq,eqik,eqab->eaibk", V * beta, B, G)
+            + 0.5 * jnp.einsum("eq,eqak,eqbi->eaibk", V * beta, s, s)
+        )
+    else:  # generic contraction fallback (memory O(npe*9) per probe)
+        D = _tangent_probe(F, gradN)  # [E,q,a,i,3,3]
+        Y = _tangent_contract(material, state, D)  # CC : sym(D)
+        Ke_mat = jnp.einsum("eq,eqaiIJ,eqbkIJ->eaibk", V, D, Y)
 
     G = jnp.einsum("eq,eqaI,eqIJ,eqbJ->eab", V, gradN, S, gradN)
     Ke_geo = G[:, :, None, :, None] * jnp.eye(3, dtype=ue.dtype)[None, None, :, None, :]
@@ -130,9 +159,19 @@ def element_diag_blocks(
     block diagonal.
     """
     gradN, V = geom.gradN, geom.detJxW
-    F, S, state = _stress_state(ue, gradN, material)
-    D = _tangent_probe(F, gradN)
-    Y = _tangent_contract(material, state, D)
-    diag_mat = jnp.einsum("eq,eqaiIJ,eqakIJ->eaik", V, D, Y)
+    F, C, S, state = _stress_state(ue, gradN, material)
+
+    factors = material.iso_tangent_factors(state, C)
+    if factors is not None:
+        alpha, A, beta = factors
+        s, B, G = _iso_stiffness_pieces(F, gradN, alpha, A, beta)
+        diag_mat = jnp.einsum(
+            "eq,eqai,eqak->eaik", V * (alpha + 0.5 * beta), s, s
+        ) + 0.5 * jnp.einsum("eq,eqik,eqa->eaik", V * beta, B, jnp.einsum("eqaa->eqa", G))
+    else:
+        D = _tangent_probe(F, gradN)
+        Y = _tangent_contract(material, state, D)
+        diag_mat = jnp.einsum("eq,eqaiIJ,eqakIJ->eaik", V, D, Y)
+
     g = jnp.einsum("eq,eqaI,eqIJ,eqaJ->ea", V, gradN, S, gradN)
     return diag_mat + g[:, :, None, None] * jnp.eye(3, dtype=ue.dtype)

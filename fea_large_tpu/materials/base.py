@@ -67,6 +67,21 @@ class Material:
         extend the state's batch dims."""
         raise NotImplementedError
 
+    def iso_tangent_factors(self, state, C: jnp.ndarray):
+        """Optional factored tangent CC = alpha A (x) A + beta II_A, i.e.
+        CC : X = alpha (A:X) A + beta A X_sym A, with A symmetric.
+
+        Returns (alpha [..], A [.., 3, 3], beta [..]) batched like C, or
+        None if the material's tangent has no such isotropic form. Element
+        kernels use this to build stiffness/diagonal blocks WITHOUT
+        materializing per-probe rank-6 intermediates (the generic
+        ``tangent_apply`` contraction needs an [E,q,npe,3,3,3] probe tensor
+        — gigabytes at the 1M-DOF scale; the factored form needs only
+        [E,q,npe,npe] and [E,q,3,3] temporaries). Both shipped materials
+        (SVK: A=I; neo-Hookean: A=C^-1) have the form.
+        """
+        return None
+
     def tangent_full(self, C: jnp.ndarray) -> jnp.ndarray:
         """Rank-4 tangent CC [.., 3,3,3,3] = 2 dS/dC. Test-only reference
         implementation built by probing ``tangent_apply`` with basis

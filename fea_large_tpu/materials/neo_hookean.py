@@ -54,3 +54,13 @@ class NeoHookean(Material):
             self.lam * cx[..., None, None] * Cinv
             + coef[..., None, None] * (Cinv @ Xs @ Cinv)
         )
+
+    def iso_tangent_factors(self, state, C):
+        # CC = lam C^-1 (x) C^-1 + 2(mu - lam lnJ) II_{C^-1}
+        Cinv, lnJ = state
+        batch = Cinv.shape[:-2]
+        return (
+            jnp.broadcast_to(self.lam, batch),
+            Cinv,
+            2.0 * (self.mu - self.lam * lnJ),
+        )

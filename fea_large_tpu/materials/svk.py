@@ -45,3 +45,12 @@ class StVenantKirchhoff(Material):
         return self.lam * trX[..., None, None] * eye3(X.dtype) + self.mu * (
             X + jnp.swapaxes(X, -1, -2)
         )
+
+    def iso_tangent_factors(self, state, C):
+        # CC : X = lam (I:X) I + 2 mu I X_sym I  ->  alpha=lam, A=I, beta=2mu
+        batch = C.shape[:-2]
+        return (
+            jnp.broadcast_to(self.lam, batch),
+            eye3(C.dtype, batch),
+            jnp.broadcast_to(2.0 * self.mu, batch),
+        )

@@ -1,0 +1,357 @@
+"""SoA (structure-of-arrays) element kernels: the TPU performance path.
+
+The AoS layout ([E, q, 3, 3] etc.) puts tensor dims of size 3 in the TPU
+lane dimension (128 lanes), wasting ~97% of every vector register and
+forcing padded (8,128) tiles — measured ~100x off speed-of-light. Here every
+per-element quantity is laid out with the ELEMENT axis LAST (the lane axis)
+and all small tensor indices (q<=5, npe<=10, i/J=3) are unrolled in Python
+at trace time: each primitive is a full-lane elementwise op on [E]-vectors,
+which XLA fuses into a handful of bandwidth-bound kernels.
+
+Small 3x3 linear algebra is expressed over nested Python lists of
+[E]-arrays (`M3 = list[list[jnp.ndarray]]`) — the SoA mirror of
+`ops.smallmat`.
+
+This module implements the matrix-free hot path of SURVEY.md C8/C12
+(freeze + tangent action + internal force + diagonal blocks) used by the
+mixed-precision solver; the f64 AoS kernels in `elements.kernels` remain
+the parity reference (tests assert SoA == AoS to f32 accuracy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fea_large_tpu.config import INDEX_DTYPE
+from fea_large_tpu.materials.base import Material
+from fea_large_tpu.materials.neo_hookean import NeoHookean
+from fea_large_tpu.materials.svk import StVenantKirchhoff
+
+# ---------------------------------------------------------------------------
+# 3x3 helpers over nested lists of [E]-vectors
+# ---------------------------------------------------------------------------
+
+
+def m3_zero(like):
+    z = jnp.zeros_like(like)
+    return [[z, z, z], [z, z, z], [z, z, z]]
+
+
+def m3_matmul(A, B):
+    return [
+        [sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def m3_transpose(A):
+    return [[A[j][i] for j in range(3)] for i in range(3)]
+
+
+def m3_det(A):
+    return (
+        A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1])
+        - A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0])
+        + A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0])
+    )
+
+
+def m3_inv_det(A):
+    """(adjugate/det, det) — explicit cofactors (no f64 LU on TPU)."""
+    c = [[None] * 3 for _ in range(3)]
+    c[0][0] = A[1][1] * A[2][2] - A[1][2] * A[2][1]
+    c[0][1] = A[0][2] * A[2][1] - A[0][1] * A[2][2]
+    c[0][2] = A[0][1] * A[1][2] - A[0][2] * A[1][1]
+    c[1][0] = A[1][2] * A[2][0] - A[1][0] * A[2][2]
+    c[1][1] = A[0][0] * A[2][2] - A[0][2] * A[2][0]
+    c[1][2] = A[0][2] * A[1][0] - A[0][0] * A[1][2]
+    c[2][0] = A[1][0] * A[2][1] - A[1][1] * A[2][0]
+    c[2][1] = A[0][1] * A[2][0] - A[0][0] * A[2][1]
+    c[2][2] = A[0][0] * A[1][1] - A[0][1] * A[1][0]
+    det = A[0][0] * c[0][0] + A[0][1] * c[1][0] + A[0][2] * c[2][0]
+    inv_det = 1.0 / det
+    inv = [[c[i][j] * inv_det for j in range(3)] for i in range(3)]
+    return inv, det
+
+
+def m3_ddot(A, B):
+    return sum(A[i][j] * B[i][j] for i in range(3) for j in range(3))
+
+
+def m3_stack(A):
+    """nested list -> array [3, 3, E] (for storage between calls)."""
+    return jnp.stack([jnp.stack(row) for row in A])
+
+
+def m3_unstack(A):
+    """[.., 3, 3, E] array -> nested list of [.., E]."""
+    return [[A[..., i, j, :] for j in range(3)] for i in range(3)]
+
+
+# ---------------------------------------------------------------------------
+# SoA mesh-level data
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SoAProblem:
+    """Static SoA arrays for one mesh (pytree; the node count is static
+    aux so `segment_sum` sees a concrete size under jit)."""
+
+    gradN: jnp.ndarray  # f32[q, npe, 3, E]
+    detJxW: jnp.ndarray  # f32[q, E]
+    conn_T: jnp.ndarray  # i32[npe, E]
+    perm_T: jnp.ndarray  # i32[npe*E] sorted-scatter permutation over (a, e)
+    segids_T: jnp.ndarray  # i32[npe*E]
+    n_nodes: int
+
+    def tree_flatten(self):
+        return (
+            (self.gradN, self.detJxW, self.conn_T, self.perm_T, self.segids_T),
+            self.n_nodes,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, n_nodes, children):
+        return cls(*children, n_nodes)
+
+    @staticmethod
+    def build(mesh, dtype=jnp.float32) -> "SoAProblem":
+        """Host-side build from a Mesh (cold path)."""
+        elem = mesh.element
+        coords, conn = mesh.coords_host, mesh.conn_host
+        dN = np.asarray(elem.shape_grad)  # [q, npe, 3]
+        w = np.asarray(elem.quad_weights)
+        Xe = coords[conn]
+        J = np.einsum("eai,qaj->eqij", Xe, dN)
+        detJ = np.linalg.det(J)
+        gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [E,q,npe,3]
+        conn_T = conn.T  # [npe, E]
+        flat = conn_T.reshape(-1)
+        perm = np.argsort(flat, kind="stable")
+        return SoAProblem(
+            gradN=jnp.asarray(np.transpose(gradN, (1, 2, 3, 0)), dtype),
+            detJxW=jnp.asarray((detJ * w[None, :]).T, dtype),
+            conn_T=jnp.asarray(conn_T, INDEX_DTYPE),
+            perm_T=jnp.asarray(perm, INDEX_DTYPE),
+            segids_T=jnp.asarray(flat[perm], INDEX_DTYPE),
+            n_nodes=int(mesh.n_nodes),
+        )
+
+
+def soa_gather(p: SoAProblem, v_T: jnp.ndarray):
+    """v_T [3, N] -> per-element nodal values [3][npe] of [E]-vectors."""
+    ve = v_T[:, p.conn_T]  # [3, npe, E]
+    return [[ve[i, a] for a in range(p.conn_T.shape[0])] for i in range(3)]
+
+
+def soa_scatter(p: SoAProblem, fe):
+    """fe [i][a] of [E] -> nodal sums [3, N] via sorted segment_sum
+    (deterministic order, SURVEY.md §7.2)."""
+    rows = []
+    npe = p.conn_T.shape[0]
+    for i in range(3):
+        flat = jnp.concatenate([fe[i][a] for a in range(npe)])
+        rows.append(
+            jax.ops.segment_sum(
+                flat[p.perm_T],
+                p.segids_T,
+                num_segments=p.n_nodes,
+                indices_are_sorted=True,
+            )
+        )
+    return jnp.stack(rows)  # [3, N]
+
+
+# ---------------------------------------------------------------------------
+# kinematics + constitutive state (freeze), SoA
+# ---------------------------------------------------------------------------
+
+
+class SoAState(NamedTuple):
+    """Frozen tangent state at u (SoA): stacked [q, 3, 3, E] / [q, E]."""
+
+    F: jnp.ndarray
+    S: jnp.ndarray
+    A: jnp.ndarray  # iso-tangent factor matrix (I for SVK, C^-1 for NH)
+    alpha: jnp.ndarray  # [q, E]
+    beta: jnp.ndarray  # [q, E]
+
+
+def _soa_material(material: Material, C, dtype):
+    """(S, alpha, A, beta) in SoA nested-list form, per quadrature point.
+
+    The SoA mirror of `Material.pk2_and_state` + `iso_tangent_factors` for
+    the registered isotropic materials (SURVEY.md C6/C7).
+    """
+    lam = material.lam.astype(dtype)
+    mu = material.mu.astype(dtype)
+    one = jnp.ones_like(C[0][0])
+    if isinstance(material, StVenantKirchhoff):
+        # S = lam tr(E) I + 2 mu E, E = (C - I)/2
+        trE = 0.5 * (C[0][0] + C[1][1] + C[2][2] - 3.0)
+        S = [
+            [
+                lam * trE * (1.0 if i == j else 0.0)
+                + mu * (C[i][j] - (1.0 if i == j else 0.0))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        eye = [[one if i == j else jnp.zeros_like(one) for j in range(3)] for i in range(3)]
+        return S, lam * one, eye, 2.0 * mu * one
+    if isinstance(material, NeoHookean):
+        Cinv, detC = m3_inv_det(C)
+        lnJ = 0.5 * jnp.log(detC)
+        S = [
+            [
+                mu * ((1.0 if i == j else 0.0) - Cinv[i][j])
+                + lam * lnJ * Cinv[i][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        return S, lam * one, Cinv, 2.0 * (mu - lam * lnJ)
+    raise NotImplementedError(
+        f"SoA kernels support the registered isotropic materials; got "
+        f"{type(material).__name__} (use the AoS path)"
+    )
+
+
+def soa_freeze(p: SoAProblem, material: Material, u_T: jnp.ndarray) -> SoAState:
+    """Evaluate kinematics + constitutive state once per Newton iterate."""
+    dtype = p.gradN.dtype
+    q, npe = p.gradN.shape[0], p.gradN.shape[1]
+    ue = soa_gather(p, u_T)
+    Fs, Ss, As, als, bes = [], [], [], [], []
+    for k in range(q):
+        g = p.gradN[k]  # [npe, 3, E]
+        F = [
+            [
+                (1.0 if i == J else 0.0)
+                + sum(ue[i][a] * g[a, J] for a in range(npe))
+                for J in range(3)
+            ]
+            for i in range(3)
+        ]
+        C = m3_matmul(m3_transpose(F), F)
+        S, alpha, A, beta = _soa_material(material, C, dtype)
+        Fs.append(m3_stack(F))
+        Ss.append(m3_stack(S))
+        As.append(m3_stack(A))
+        als.append(alpha)
+        bes.append(beta)
+    return SoAState(
+        F=jnp.stack(Fs), S=jnp.stack(Ss), A=jnp.stack(As),
+        alpha=jnp.stack(als), beta=jnp.stack(bes),
+    )
+
+
+def soa_internal_force(p: SoAProblem, state: SoAState) -> jnp.ndarray:
+    """f_int [3, N] from the frozen state: fe[a,i] = sum_q V (F S)_iJ g_a[J]."""
+    q, npe = p.gradN.shape[0], p.gradN.shape[1]
+    fe = [[0.0] * npe for _ in range(3)]
+    for k in range(q):
+        F = m3_unstack(state.F[k])
+        S = m3_unstack(state.S[k])
+        V = p.detJxW[k]
+        P = m3_matmul(F, S)
+        PV = [[P[i][J] * V for J in range(3)] for i in range(3)]
+        g = p.gradN[k]
+        for i in range(3):
+            for a in range(npe):
+                fe[i][a] = fe[i][a] + sum(PV[i][J] * g[a, J] for J in range(3))
+    return soa_scatter(p, fe)
+
+
+def soa_apply_tangent(p: SoAProblem, state: SoAState, v_T: jnp.ndarray) -> jnp.ndarray:
+    """(K v) [3, N]: consistent-tangent action, material + geometric
+    (SURVEY.md §5.5 matrix-free action), all full-lane [E]-vector ops."""
+    q, npe = p.gradN.shape[0], p.gradN.shape[1]
+    ve = soa_gather(p, v_T)
+    out = [[0.0] * npe for _ in range(3)]
+    for k in range(q):
+        F = m3_unstack(state.F[k])
+        S = m3_unstack(state.S[k])
+        A = m3_unstack(state.A[k])
+        alpha, beta, V = state.alpha[k], state.beta[k], p.detJxW[k]
+        g = p.gradN[k]
+        # dF_iJ = sum_a v[a,i] g_a[J]
+        dF = [
+            [sum(ve[i][a] * g[a, J] for a in range(npe)) for J in range(3)]
+            for i in range(3)
+        ]
+        # dE = sym(F^T dF)
+        FtdF = m3_matmul(m3_transpose(F), dF)
+        dE = [
+            [0.5 * (FtdF[i][j] + FtdF[j][i]) for j in range(3)] for i in range(3)
+        ]
+        # dS = alpha (A:dE) A + beta A dE A
+        AdE = m3_ddot(A, dE)
+        AdEA = m3_matmul(A, m3_matmul(dE, A))
+        dS = [
+            [alpha * AdE * A[i][j] + beta * AdEA[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+        # dP = dF S + F dS, weighted by V
+        dP1 = m3_matmul(dF, S)
+        dP2 = m3_matmul(F, dS)
+        dPV = [[(dP1[i][J] + dP2[i][J]) * V for J in range(3)] for i in range(3)]
+        for i in range(3):
+            for a in range(npe):
+                out[i][a] = out[i][a] + sum(dPV[i][J] * g[a, J] for J in range(3))
+    return soa_scatter(p, out)
+
+
+def soa_diag_blocks(p: SoAProblem, state: SoAState) -> jnp.ndarray:
+    """Nodal 3x3 diagonal blocks [3, 3, N] for block-Jacobi (SURVEY.md C12),
+    via the factored tangent (kernels._iso_stiffness_pieces, SoA form):
+    diag[a,i,k] = sum_q V [(alpha + beta/2) s_ai s_ak + beta/2 B_ik G_aa]
+                + sum_q V (g_a.S.g_a) delta_ik.
+    """
+    q, npe = p.gradN.shape[0], p.gradN.shape[1]
+    acc = [[[0.0] * npe for _ in range(3)] for _ in range(3)]  # [i][k][a]
+    for kq in range(q):
+        F = m3_unstack(state.F[kq])
+        S = m3_unstack(state.S[kq])
+        A = m3_unstack(state.A[kq])
+        alpha, beta, V = state.alpha[kq], state.beta[kq], p.detJxW[kq]
+        g = p.gradN[kq]
+        FA = m3_matmul(F, A)
+        B = m3_matmul(FA, m3_transpose(F))
+        w1 = (alpha + 0.5 * beta) * V
+        w2 = 0.5 * beta * V
+        for a in range(npe):
+            s_a = [sum(FA[i][J] * g[a, J] for J in range(3)) for i in range(3)]
+            Ag_a = [sum(A[I][J] * g[a, J] for J in range(3)) for I in range(3)]
+            G_aa = sum(g[a, I] * Ag_a[I] for I in range(3))
+            Sg_a = [sum(S[I][J] * g[a, J] for J in range(3)) for I in range(3)]
+            geo = V * sum(g[a, I] * Sg_a[I] for I in range(3))
+            for i in range(3):
+                for k in range(3):
+                    term = w1 * s_a[i] * s_a[k] + w2 * B[i][k] * G_aa
+                    if i == k:
+                        term = term + geo
+                    acc[i][k][a] = acc[i][k][a] + term
+    # scatter each (i,k) channel over nodes
+    rows = []
+    for i in range(3):
+        cols = []
+        for k in range(3):
+            flat = jnp.concatenate([acc[i][k][a] for a in range(npe)])
+            cols.append(
+                jax.ops.segment_sum(
+                    flat[p.perm_T],
+                    p.segids_T,
+                    num_segments=p.n_nodes,
+                    indices_are_sorted=True,
+                )
+            )
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # [3, 3, N]

@@ -9,6 +9,11 @@ regions per iteration:
     residual(u, scale)  ->  ||R_free||            (one element pass)
     step(u, scale)      ->  u + du                (assemble + linear solve)
 
+The jitted functions are MODULE-LEVEL and take every array (geometry,
+scatter maps, BC masks, material constants) as an argument: closure-captured
+arrays become baked-in constants, which makes tracing/compilation scale with
+mesh size and defeats jit caching across solver instances.
+
 Auxiliary behaviors required by the spec:
   * convergence tracking (BASELINE.json:9): per-increment residual history,
     Newton counts, PCG iteration counts — returned as structured records
@@ -22,11 +27,8 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any
 
 import jax
-import numpy as np
 import jax.numpy as jnp
 
 from fea_large_tpu.assembly.bcsr import BCSRStructure, assemble_bcsr
@@ -41,6 +43,11 @@ from fea_large_tpu.elements.kernels import (
 )
 from fea_large_tpu.materials.base import Material
 from fea_large_tpu.mesh.core import Mesh
+from fea_large_tpu.ops.soa import (
+    soa_apply_tangent,
+    soa_diag_blocks,
+    soa_freeze,
+)
 from fea_large_tpu.solvers.linear import (
     block_jacobi_preconditioner,
     dense_cholesky_solve,
@@ -61,6 +68,14 @@ class SolverOptions:
     pcg_tol: float = 1e-12
     pcg_maxiter: int = 5000
     max_bisections: int = 5
+    #: "f64" — everything in f64 (the parity path, BASELINE.json:5).
+    #: "mixed" — f64 residuals/updates + f32 tangent/PCG (SURVEY.md §9
+    #: risk 2/5): the linear solve is a Newton DIRECTION, so f32 error there
+    #: only perturbs the step, not the fixed point; the f64 residual keeps
+    #: convergence checks and the converged u at f64 accuracy. This is the
+    #: TPU performance path (f64 is software-emulated on TPU: ~10x slower
+    #: and pathologically slow to compile at scale).
+    precision: str = "f64"
 
 
 @dataclasses.dataclass
@@ -85,6 +100,100 @@ class SolveResult:
         return sum(r.newton_iters for r in self.history)
 
 
+# ---------------------------------------------------------------------------
+# jitted device programs (module-level: shared compile cache across solver
+# instances, no captured array constants)
+# ---------------------------------------------------------------------------
+
+
+def _residual_fn(u, scale, conn, geom, material, bc, f_ext, scatter):
+    fe = element_internal_force(u[conn], geom, material)
+    r = bc.project(scale * f_ext - scatter(fe))
+    return r, jnp.linalg.norm(r)
+
+
+def _step_direct_fn(u, scale, conn, geom, material, bc, f_ext):
+    K, f_int = assemble_dense(u, conn, geom, material)
+    r = bc.project(scale * f_ext - f_int)
+    A, b = mask_dense_system(K, r, bc.free_mask)
+    du = dense_cholesky_solve(A, b).reshape(u.shape)
+    return u + du, jnp.int32(1), jnp.bool_(True)
+
+
+def _step_matfree_fn(
+    u, scale, conn, geom, material, bc, f_ext, scatter, pcg_tol, pcg_maxiter
+):
+    state, fe = TangentState.freeze(u, conn, geom, material)
+    r = bc.project(scale * f_ext - scatter(fe))
+    diag = scatter(element_diag_blocks(u[conn], geom, material))
+    precond = block_jacobi_preconditioner(diag, bc.free_mask)
+
+    def matvec(v):
+        vm = bc.project(v)
+        return bc.project(apply_tangent(state, vm, conn, geom, material, scatter)) + (
+            v - vm
+        )
+
+    res = pcg(matvec, r, preconditioner=precond, tol=pcg_tol, maxiter=pcg_maxiter)
+    return u + res.x, res.iterations, res.converged
+
+
+def _step_bcsr_fn(
+    u, scale, conn, geom, material, bc, f_ext, scatter, structure, pcg_tol, pcg_maxiter
+):
+    K, f_int = assemble_bcsr(u, conn, geom, material, structure, scatter)
+    r = bc.project(scale * f_ext - f_int)
+    precond = block_jacobi_preconditioner(K.block_diagonal(), bc.free_mask)
+
+    def matvec(v):
+        vm = bc.project(v)
+        return bc.project(K.matvec(vm)) + (v - vm)
+
+    res = pcg(matvec, r, preconditioner=precond, tol=pcg_tol, maxiter=pcg_maxiter)
+    return u + res.x, res.iterations, res.converged
+
+
+def _step_matfree_mixed_fn(
+    u, scale, conn, geom, soa, material, material32, bc, f_ext, scatter,
+    pcg_tol, pcg_maxiter,
+):
+    """Mixed-precision Newton step: f64 residual (element pass), f32 frozen
+    tangent + Jacobi-PCG in the SoA element-axis-last layout (`ops.soa` —
+    full-lane TPU vector ops), f64 update."""
+    # f64 residual — the quantity the convergence check and parity depend on
+    fe = element_internal_force(u[conn], geom, material)
+    r64 = bc.project(scale * f_ext - scatter(fe))
+
+    # f32 SoA tangent state at u and f32 PCG on K du = r
+    u32_T = u.astype(jnp.float32).T  # [3, N]
+    free32_T = bc.free_mask.astype(jnp.float32).T
+    state = soa_freeze(soa, material32, u32_T)
+    diag_T = soa_diag_blocks(soa, state)  # [3, 3, N]
+    diag = jnp.transpose(diag_T, (2, 0, 1))
+    precond_inner = block_jacobi_preconditioner(diag, free32_T.T)
+
+    def matvec(v):  # v [N, 3] f32
+        vm_T = v.T * free32_T
+        y_T = soa_apply_tangent(soa, state, vm_T) * free32_T
+        return y_T.T + (v - vm_T.T)
+
+    res = pcg(
+        matvec,
+        r64.astype(jnp.float32),
+        preconditioner=precond_inner,
+        tol=pcg_tol,
+        maxiter=pcg_maxiter,
+    )
+    return u + res.x.astype(u.dtype), res.iterations, res.converged
+
+
+_residual_jit = jax.jit(_residual_fn)
+_step_direct_jit = jax.jit(_step_direct_fn)
+_step_matfree_jit = jax.jit(_step_matfree_fn)
+_step_bcsr_jit = jax.jit(_step_bcsr_fn)
+_step_matfree_mixed_jit = jax.jit(_step_matfree_mixed_fn)
+
+
 class NewtonSolver:
     """Total-Lagrangian quasi-static solver for one mesh/material/BC setup.
 
@@ -105,6 +214,8 @@ class NewtonSolver:
         self.material = material
         self.bc = bc
         self.options = options or SolverOptions()
+        if self.options.linear not in ("direct", "pcg", "pcg_bcsr"):
+            raise ValueError(f"unknown linear solver {self.options.linear!r}")
         self.element = mesh.element
         self.geom = precompute_geometry(mesh.coords, mesh.conn, self.element)
         self.scatter = NodeScatter.build(mesh.conn_host, mesh.n_nodes)
@@ -115,97 +226,52 @@ class NewtonSolver:
             self.bcsr = BCSRStructure.build(mesh.conn_host, mesh.n_nodes)
         else:
             self.bcsr = None
-        self._step = {
-            "direct": self._make_step_direct,
-            "pcg": self._make_step_matfree,
-            "pcg_bcsr": self._make_step_bcsr,
-        }[self.options.linear]()
-        self._residual = jax.jit(self._residual_impl)
+        self._pcg_tol = jnp.asarray(self.options.pcg_tol, mesh.coords.dtype)
+        self._pcg_maxiter = jnp.asarray(self.options.pcg_maxiter, jnp.int32)
+        if self.options.precision == "mixed":
+            if self.options.linear != "pcg":
+                raise ValueError("precision='mixed' requires linear='pcg'")
+            from fea_large_tpu.ops.soa import SoAProblem
 
-    # -- jitted pieces -------------------------------------------------------
-    def _internal_force(self, u):
-        fe = element_internal_force(u[self.mesh.conn], self.geom, self.material)
-        return self.scatter(fe)
+            self._soa = SoAProblem.build(mesh, jnp.float32)
+            self._material32 = jax.tree.map(
+                lambda x: x.astype(jnp.float32), material
+            )
+            self._pcg_tol32 = jnp.asarray(self.options.pcg_tol, jnp.float32)
 
-    def _residual_impl(self, u, scale):
-        r = self.bc.project(scale * self.f_ext - self._internal_force(u))
-        return r, jnp.linalg.norm(r)
-
-    def _make_step_direct(self):
-        def step(u, scale):
-            K, f_int = assemble_dense(u, self.mesh.conn, self.geom, self.material)
-            r = self.bc.project(scale * self.f_ext - f_int)
-            A, b = mask_dense_system(K, r, self.bc.free_mask)
-            du = dense_cholesky_solve(A, b).reshape(u.shape)
-            return u + du, jnp.int32(1), jnp.bool_(True)
-
-        self.step_fn = step  # raw (unjitted) — compile-checkable by callers
-        return jax.jit(step)
-
-    def _make_step_matfree(self):
-        conn, geom, mat, scatter, bc = (
-            self.mesh.conn,
-            self.geom,
-            self.material,
-            self.scatter,
-            self.bc,
+    # -- device-program wrappers --------------------------------------------
+    def _residual(self, u, scale):
+        return _residual_jit(
+            u, scale, self.mesh.conn, self.geom, self.material, self.bc,
+            self.f_ext, self.scatter,
         )
 
-        def step(u, scale):
-            state, fe = TangentState.freeze(u, conn, geom, mat)
-            f_int = scatter(fe)
-            r = bc.project(scale * self.f_ext - f_int)
-            diag = scatter(element_diag_blocks(u[conn], geom, mat))
-            precond = block_jacobi_preconditioner(diag, bc.free_mask)
-
-            def matvec(v):
-                vm = bc.project(v)
-                return bc.project(
-                    apply_tangent(state, vm, conn, geom, mat, scatter)
-                ) + (v - vm)
-
-            res = pcg(
-                matvec,
-                r,
-                preconditioner=precond,
-                tol=self.options.pcg_tol,
-                maxiter=self.options.pcg_maxiter,
+    def _step(self, u, scale):
+        if self.options.linear == "direct":
+            return _step_direct_jit(
+                u, scale, self.mesh.conn, self.geom, self.material, self.bc,
+                self.f_ext,
             )
-            return u + res.x, res.iterations, res.converged
-
-        self.step_fn = step
-        return jax.jit(step)
-
-    def _make_step_bcsr(self):
-        conn, geom, mat, scatter, bc = (
-            self.mesh.conn,
-            self.geom,
-            self.material,
-            self.scatter,
-            self.bc,
+        if self.options.linear == "pcg":
+            if self.options.precision == "mixed":
+                return _step_matfree_mixed_jit(
+                    u, scale, self.mesh.conn, self.geom, self._soa,
+                    self.material, self._material32, self.bc, self.f_ext,
+                    self.scatter, self._pcg_tol32, self._pcg_maxiter,
+                )
+            return _step_matfree_jit(
+                u, scale, self.mesh.conn, self.geom, self.material, self.bc,
+                self.f_ext, self.scatter, self._pcg_tol, self._pcg_maxiter,
+            )
+        return _step_bcsr_jit(
+            u, scale, self.mesh.conn, self.geom, self.material, self.bc,
+            self.f_ext, self.scatter, self.bcsr, self._pcg_tol, self._pcg_maxiter,
         )
-        structure = self.bcsr
 
-        def step(u, scale):
-            K, f_int = assemble_bcsr(u, conn, geom, mat, structure, scatter)
-            r = bc.project(scale * self.f_ext - f_int)
-            precond = block_jacobi_preconditioner(K.block_diagonal(), bc.free_mask)
-
-            def matvec(v):
-                vm = bc.project(v)
-                return bc.project(K.matvec(vm)) + (v - vm)
-
-            res = pcg(
-                matvec,
-                r,
-                preconditioner=precond,
-                tol=self.options.pcg_tol,
-                maxiter=self.options.pcg_maxiter,
-            )
-            return u + res.x, res.iterations, res.converged
-
-        self.step_fn = step
-        return jax.jit(step)
+    def step_fn(self, u, scale):
+        """One jittable Newton step (also used by the driver's compile
+        check, __graft_entry__.entry)."""
+        return self._step(u, scale)
 
     # -- host control loop ---------------------------------------------------
     def _newton(self, u, scale) -> tuple[jnp.ndarray, bool, IncrementRecord]:

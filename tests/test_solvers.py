@@ -154,3 +154,29 @@ def test_incremental_loading_records(rng):
     np.testing.assert_allclose(factors, [1 / 3, 2 / 3, 1.0], rtol=1e-12)
     for rec in res.history:
         assert rec.residual_norms[-1] < rec.residual_norms[0] or rec.residual_norms[0] < 1e-12
+
+
+def test_mixed_precision_matches_f64(rng):
+    """precision='mixed' (f32 tangent/PCG + f64 residual) must converge to
+    the f64 solution to ~1e-8 relative (SURVEY.md §9 risk 2: the mixed
+    path is the TPU performance path; the f64 residual pins the fixed
+    point)."""
+    mesh = box_mesh(3, 3, 3, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.15).build()
+    ref = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(linear="pcg", n_steps=2, pcg_tol=1e-13),
+    ).solve()
+    assert ref.converged
+    mixed = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", n_steps=2, precision="mixed",
+            pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
+        ),
+    ).solve()
+    assert mixed.converged
+    scale = float(np.abs(np.asarray(ref.u)).max())
+    err = float(np.abs(np.asarray(mixed.u) - np.asarray(ref.u)).max()) / scale
+    assert err < 1e-8, err
