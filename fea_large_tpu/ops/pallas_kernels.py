@@ -1,0 +1,204 @@
+"""Pallas TPU kernels for the element hot loop (SURVEY.md C8/C10;
+BASELINE.json:5 "batched dense Pallas kernels over element blocks").
+
+Layout contract (shared with `ops.soa`): the element axis is LAST (TPU lane
+axis), small tensor indices live on the sublane axis. Each grid step
+processes one block of `block_e` elements resident in VMEM:
+
+    ve      f32[3*npe,  BE]   gathered nodal vector values
+    gradN   f32[q*npe*3, BE]  material shape gradients
+    detJxW  f32[q,       BE]
+    F,S,A   f32[q*9,     BE]  frozen tangent state (ops.soa.SoAState)
+    alpha,beta f32[q,    BE]
+    out     f32[3*npe,  BE]   per-element nodal result
+
+The kernel computes the consistent-tangent action (SURVEY.md §5.5):
+dF = sum_a v_a (x) g_a; dE = sym(F^T dF); dS = alpha (A:dE) A + beta A dE A;
+dP = dF S + F dS; out[a,i] = sum_q V dP_iJ g_a[J] — identical math to
+`ops.soa.soa_apply_tangent`, with every primitive a full-lane vector op.
+
+Gather (v[conn]) and the nodal scatter stay in XLA: TPU has no per-lane
+gather instruction, so Pallas cannot beat XLA's scalar gather/scatter for
+the unstructured indexing — the kernel focuses the dense element math.
+Kernels run in interpret mode off-TPU (`config.pallas_interpret`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fea_large_tpu.config import pallas_interpret
+
+
+def _apply_kernel(npe: int, q: int,
+                  ve_ref, gradn_ref, vol_ref, F_ref, S_ref, A_ref,
+                  alpha_ref, beta_ref, out_ref):
+    """One element block: tangent action, all indices unrolled."""
+    BE = ve_ref.shape[-1]
+    ve = ve_ref[:]          # [3*npe, BE]
+    g = gradn_ref[:]        # [q*npe*3, BE]
+    vol = vol_ref[:]        # [q, BE]
+    Fb = F_ref[:]           # [q*9, BE]
+    Sb = S_ref[:]
+    Ab = A_ref[:]
+    al = alpha_ref[:]       # [q, BE]
+    be = beta_ref[:]
+
+    def M(buf, k, i, j):  # [q*9, BE] -> (i,j) component at quad point k
+        return buf[k * 9 + 3 * i + j]
+
+    def G(k, a, J):  # gradN component
+        return g[(k * npe + a) * 3 + J]
+
+    out = [[jnp.zeros((BE,), ve.dtype) for _ in range(npe)] for _ in range(3)]
+    for k in range(q):
+        V = vol[k]
+        # dF_iJ = sum_a v[a,i] g_a[J]
+        dF = [
+            [
+                sum(ve[3 * a + i] * G(k, a, J) for a in range(npe))
+                for J in range(3)
+            ]
+            for i in range(3)
+        ]
+        # dE = sym(F^T dF)
+        FtdF = [
+            [
+                sum(M(Fb, k, m, i) * dF[m][j] for m in range(3))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        dE = [[0.5 * (FtdF[i][j] + FtdF[j][i]) for j in range(3)] for i in range(3)]
+        # dS = alpha (A:dE) A + beta A dE A
+        AdE = sum(M(Ab, k, i, j) * dE[i][j] for i in range(3) for j in range(3))
+        AdEr = [
+            [
+                sum(M(Ab, k, i, m) * dE[m][j] for m in range(3))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        AdEA = [
+            [
+                sum(AdEr[i][m] * M(Ab, k, m, j) for m in range(3))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        dS = [
+            [al[k] * AdE * M(Ab, k, i, j) + be[k] * AdEA[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+        # dP = dF S + F dS, volume-weighted
+        dPV = [
+            [
+                (
+                    sum(dF[i][m] * M(Sb, k, m, J) for m in range(3))
+                    + sum(M(Fb, k, i, m) * dS[m][J] for m in range(3))
+                )
+                * V
+                for J in range(3)
+            ]
+            for i in range(3)
+        ]
+        for i in range(3):
+            for a in range(npe):
+                out[i][a] = out[i][a] + sum(dPV[i][J] * G(k, a, J) for J in range(3))
+
+    out_ref[:] = jnp.stack([out[i][a] for i in range(3) for a in range(npe)])
+
+
+def _pad_e(x, BE):
+    E = x.shape[-1]
+    pad = (-E) % BE
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("npe", "q", "block_e"))
+def pallas_element_apply(
+    ve, gradN, detJxW, F, S, A, alpha, beta, *, npe: int, q: int, block_e: int = 512
+):
+    """Batched tangent action over element blocks (inputs in the flattened
+    SoA layout documented in the module docstring); returns [3*npe, E]."""
+    E = ve.shape[-1]
+    args = [
+        _pad_e(ve, block_e),
+        _pad_e(gradN, block_e),
+        _pad_e(detJxW, block_e),
+        _pad_e(F, block_e),
+        _pad_e(S, block_e),
+        _pad_e(A, block_e),
+        _pad_e(alpha, block_e),
+        _pad_e(beta, block_e),
+    ]
+    Ep = args[0].shape[-1]
+    grid = (Ep // block_e,)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, npe, q),
+        out_shape=jax.ShapeDtypeStruct((3 * npe, Ep), ve.dtype),
+        grid=grid,
+        in_specs=[
+            spec(3 * npe),
+            spec(q * npe * 3),
+            spec(q),
+            spec(q * 9),
+            spec(q * 9),
+            spec(q * 9),
+            spec(q),
+            spec(q),
+        ],
+        out_specs=spec(3 * npe),
+        interpret=pallas_interpret(),
+    )(*args)
+    return out[:, :E]
+
+
+# ---------------------------------------------------------------------------
+# SoAState adapters
+# ---------------------------------------------------------------------------
+
+
+def flatten_state(state):
+    """ops.soa.SoAState -> flattened [q*9, E] buffers for the kernel."""
+    q = state.F.shape[0]
+    E = state.F.shape[-1]
+
+    def flat(x):  # [q, 3, 3, E] -> [q*9, E]
+        return x.reshape(q * 9, E)
+
+    return flat(state.F), flat(state.S), flat(state.A), state.alpha, state.beta
+
+
+def soa_apply_tangent_pallas(p, state, v_T, block_e: int = 512):
+    """Drop-in Pallas variant of `ops.soa.soa_apply_tangent` (same gather /
+    scatter, Pallas element math)."""
+    from fea_large_tpu.ops.soa import soa_scatter
+
+    q, npe = p.gradN.shape[0], p.gradN.shape[1]
+    E = p.gradN.shape[-1]
+    ve = v_T[:, p.conn_T]  # [3, npe, E]
+    ve_flat = ve.transpose(1, 0, 2).reshape(3 * npe, E)  # rows = 3*a + i
+    # kernel expects rows ordered as (a, i) triplets: ve[3a+i]
+    gradN_flat = p.gradN.reshape(q * npe * 3, E)
+    Fb, Sb, Ab, al, be = flatten_state(state)
+    out = pallas_element_apply(
+        ve_flat, gradN_flat, p.detJxW, Fb, Sb, Ab, al, be,
+        npe=npe, q=q, block_e=block_e,
+    )
+    # out rows are i*npe + a; regroup to fe[i][a] lists for the scatter
+    fe = [[out[i * npe + a] for a in range(npe)] for i in range(3)]
+    return soa_scatter(p, fe)

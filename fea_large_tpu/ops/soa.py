@@ -102,13 +102,22 @@ def m3_unstack(A):
 @dataclasses.dataclass(frozen=True)
 class SoAProblem:
     """Static SoA arrays for one mesh (pytree; the node count is static
-    aux so `segment_sum` sees a concrete size under jit)."""
+    aux so reductions see concrete sizes under jit).
+
+    The nodal scatter-add is a sorted segment-sum (`perm_T`/`segids_T`):
+    profiled against a padded per-node gather on TPU, the sorted segment
+    reduction wins (~1.8 ms vs ~6.8 ms per component at 205k contributions
+    — TPU has no hardware gather, so padding waste costs linearly). Both
+    are deterministic fixed-order reductions (SURVEY.md §7.2). This scalar
+    scatter is the known per-iteration floor of the pure-XLA path; see
+    bench notes.
+    """
 
     gradN: jnp.ndarray  # f32[q, npe, 3, E]
     detJxW: jnp.ndarray  # f32[q, E]
     conn_T: jnp.ndarray  # i32[npe, E]
-    perm_T: jnp.ndarray  # i32[npe*E] sorted-scatter permutation over (a, e)
-    segids_T: jnp.ndarray  # i32[npe*E]
+    perm_T: jnp.ndarray  # i32[npe*E] stable sort of flat (a, e) by node id
+    segids_T: jnp.ndarray  # i32[npe*E] node per sorted slot
     n_nodes: int
 
     def tree_flatten(self):
@@ -132,7 +141,7 @@ class SoAProblem:
         J = np.einsum("eai,qaj->eqij", Xe, dN)
         detJ = np.linalg.det(J)
         gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [E,q,npe,3]
-        conn_T = conn.T  # [npe, E]
+        conn_T = np.ascontiguousarray(conn.T)  # [npe, E]
         flat = conn_T.reshape(-1)
         perm = np.argsort(flat, kind="stable")
         return SoAProblem(
@@ -153,9 +162,9 @@ def soa_gather(p: SoAProblem, v_T: jnp.ndarray):
 
 def soa_scatter(p: SoAProblem, fe):
     """fe [i][a] of [E] -> nodal sums [3, N] via sorted segment_sum
-    (deterministic order, SURVEY.md §7.2)."""
-    rows = []
+    (fixed reduction order -> deterministic, SURVEY.md §7.2)."""
     npe = p.conn_T.shape[0]
+    rows = []
     for i in range(3):
         flat = jnp.concatenate([fe[i][a] for a in range(npe)])
         rows.append(
@@ -339,7 +348,7 @@ def soa_diag_blocks(p: SoAProblem, state: SoAState) -> jnp.ndarray:
                     if i == k:
                         term = term + geo
                     acc[i][k][a] = acc[i][k][a] + term
-    # scatter each (i,k) channel over nodes
+    # scatter each (i,k) channel over nodes (sorted segment sum)
     rows = []
     for i in range(3):
         cols = []

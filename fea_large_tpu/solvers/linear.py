@@ -36,10 +36,10 @@ def dense_cholesky_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jsl.cho_solve((c, low), b)
 
 
-def block_jacobi_preconditioner(
+def jacobi_inverse_blocks(
     diag_blocks: jnp.ndarray, free_mask: jnp.ndarray
-) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Preconditioner apply from nodal 3x3 diagonal blocks [N,3,3].
+) -> jnp.ndarray:
+    """Inverted (masked) nodal 3x3 diagonal blocks [N,3,3].
 
     Fixed DOFs are handled by masking: rows/cols of prescribed DOFs are
     replaced by identity before the 3x3 inversion, so M^{-1} acts as the
@@ -49,10 +49,21 @@ def block_jacobi_preconditioner(
     outer = m[:, :, None] * m[:, None, :]
     eye = jnp.eye(3, dtype=diag_blocks.dtype)
     masked = diag_blocks * outer + (eye - eye * outer)
-    inv_blocks = inv3(masked)
+    return inv3(masked)
+
+
+def apply_block_jacobi(inv_blocks, free_mask, r):
+    return jnp.einsum("nij,nj->ni", inv_blocks, r * free_mask) * free_mask
+
+
+def block_jacobi_preconditioner(
+    diag_blocks: jnp.ndarray, free_mask: jnp.ndarray
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Preconditioner apply closure (see `jacobi_inverse_blocks`)."""
+    inv_blocks = jacobi_inverse_blocks(diag_blocks, free_mask)
 
     def apply(r: jnp.ndarray) -> jnp.ndarray:
-        return jnp.einsum("nij,nj->ni", inv_blocks, r * m) * m
+        return apply_block_jacobi(inv_blocks, free_mask, r)
 
     return apply
 
@@ -62,6 +73,69 @@ class PCGResult(NamedTuple):
     iterations: jnp.ndarray  # i32 scalar
     residual_norm: jnp.ndarray  # final ||r||_2
     converged: jnp.ndarray  # bool scalar
+
+
+class PCGState(NamedTuple):
+    """Exact CG state, resumable across device calls (chunked execution:
+    long single device executions are killed on tunneled TPU backends, and
+    the host loop costs one dispatch per chunk)."""
+
+    x: jnp.ndarray
+    r: jnp.ndarray
+    z: jnp.ndarray
+    p: jnp.ndarray
+    rz: jnp.ndarray
+    rr: jnp.ndarray
+    k: jnp.ndarray  # i32 iteration count
+    ok: jnp.ndarray  # bool: no breakdown
+    stop: jnp.ndarray  # cached max(tol*||b||, atol)
+
+
+def pcg_init(matvec, b, preconditioner=None, x0=None, tol=1e-10, atol=0.0, dot=None):
+    if preconditioner is None:
+        preconditioner = lambda r: r  # noqa: E731
+    if dot is None:
+        dot = lambda a, c: jnp.vdot(a, c)  # noqa: E731
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    b_norm = jnp.sqrt(dot(b, b))
+    stop = jnp.maximum(tol * b_norm, atol)
+    r0 = b - matvec(x0)
+    z0 = preconditioner(r0)
+    return PCGState(
+        x=x0, r=r0, z=z0, p=z0, rz=dot(r0, z0), rr=dot(r0, r0),
+        k=jnp.int32(0), ok=jnp.bool_(True), stop=stop,
+    )
+
+
+def pcg_chunk(matvec, state: PCGState, preconditioner=None, dot=None,
+              maxiter=100) -> PCGState:
+    """Run up to `maxiter` further CG iterations (stops early on
+    convergence/breakdown); exact continuation of the Krylov recurrence."""
+    if preconditioner is None:
+        preconditioner = lambda r: r  # noqa: E731
+    if dot is None:
+        dot = lambda a, c: jnp.vdot(a, c)  # noqa: E731
+    k0 = state.k
+
+    def cond(s):
+        return s.ok & (s.k < k0 + maxiter) & (jnp.sqrt(s.rr) > s.stop)
+
+    def body(s):
+        q = matvec(s.p)
+        pq = dot(s.p, q)
+        ok = s.ok & (pq > 0.0)  # breakdown guard: K must be SPD
+        alpha = jnp.where(pq > 0.0, s.rz / pq, 0.0)
+        x = s.x + alpha * s.p
+        r = s.r - alpha * q
+        z = preconditioner(r)
+        rz_new = dot(r, z)
+        rr_new = dot(r, r)
+        beta = jnp.where(s.rz != 0.0, rz_new / s.rz, 0.0)
+        p = z + beta * s.p
+        return PCGState(x, r, z, p, rz_new, rr_new, s.k + 1, ok, s.stop)
+
+    return jax.lax.while_loop(cond, body, state)
 
 
 def pcg(
@@ -84,46 +158,16 @@ def pcg(
     Termination: ||r|| <= max(tol * ||b||, atol), plus a breakdown guard on
     p^T K p <= 0 (SURVEY.md §7.3).
     """
-    if preconditioner is None:
-        preconditioner = lambda r: r  # noqa: E731
-    if dot is None:
-        dot = lambda a, c: jnp.vdot(a, c)  # noqa: E731
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
-
-    b_norm = jnp.sqrt(dot(b, b))
-    stop = jnp.maximum(tol * b_norm, atol)
-
-    r0 = b - matvec(x0)
-    z0 = preconditioner(r0)
-    rz0 = dot(r0, z0)
-    rr0 = dot(r0, r0)
-
-    # ||r||^2 is carried in the loop state (computed in the body, where the
-    # reduction — a `psum` on the sharded path — is legal) so the `cond`
-    # predicate is collective-free.
-    def cond(carry):
-        x, r, z, p, rz, rr, k, ok = carry
-        return ok & (k < maxiter) & (jnp.sqrt(rr) > stop)
-
-    def body(carry):
-        x, r, z, p, rz, rr, k, ok = carry
-        q = matvec(p)
-        pq = dot(p, q)
-        ok = ok & (pq > 0.0)  # breakdown guard: K must be SPD
-        alpha = jnp.where(pq > 0.0, rz / pq, 0.0)
-        x = x + alpha * p
-        r = r - alpha * q
-        z = preconditioner(r)
-        rz_new = dot(r, z)
-        rr_new = dot(r, r)
-        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
-        p = z + beta * p
-        return (x, r, z, p, rz_new, rr_new, k + 1, ok)
-
-    init = (x0, r0, z0, z0, rz0, rr0, jnp.int32(0), jnp.bool_(True))
-    x, r, _, _, _, rr, k, ok = jax.lax.while_loop(cond, body, init)
-    r_norm = jnp.sqrt(rr)
+    state = pcg_init(
+        matvec, b, preconditioner=preconditioner, x0=x0, tol=tol, atol=atol, dot=dot
+    )
+    state = pcg_chunk(
+        matvec, state, preconditioner=preconditioner, dot=dot, maxiter=maxiter
+    )
+    r_norm = jnp.sqrt(state.rr)
     return PCGResult(
-        x=x, iterations=k, residual_norm=r_norm, converged=ok & (r_norm <= stop)
+        x=state.x,
+        iterations=state.k,
+        residual_norm=r_norm,
+        converged=state.ok & (r_norm <= state.stop),
     )

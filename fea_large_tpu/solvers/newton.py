@@ -47,11 +47,16 @@ from fea_large_tpu.ops.soa import (
     soa_apply_tangent,
     soa_diag_blocks,
     soa_freeze,
+    soa_internal_force,
 )
 from fea_large_tpu.solvers.linear import (
+    apply_block_jacobi,
     block_jacobi_preconditioner,
     dense_cholesky_solve,
+    jacobi_inverse_blocks,
     pcg,
+    pcg_chunk,
+    pcg_init,
 )
 
 
@@ -67,6 +72,7 @@ class SolverOptions:
     max_newton: int = 30
     pcg_tol: float = 1e-12
     pcg_maxiter: int = 5000
+    pcg_chunk: int = 250  # CG iterations per device call (mixed path)
     max_bisections: int = 5
     #: "f64" — everything in f64 (the parity path, BASELINE.json:5).
     #: "mixed" — f64 residuals/updates + f32 tangent/PCG (SURVEY.md §9
@@ -153,45 +159,61 @@ def _step_bcsr_fn(
     return u + res.x, res.iterations, res.converged
 
 
-def _step_matfree_mixed_fn(
-    u, scale, conn, geom, soa, material, material32, bc, f_ext, scatter,
-    pcg_tol, pcg_maxiter,
-):
-    """Mixed-precision Newton step: f64 residual (element pass), f32 frozen
-    tangent + Jacobi-PCG in the SoA element-axis-last layout (`ops.soa` —
-    full-lane TPU vector ops), f64 update."""
-    # f64 residual — the quantity the convergence check and parity depend on
-    fe = element_internal_force(u[conn], geom, material)
-    r64 = bc.project(scale * f_ext - scatter(fe))
+def _residual_soa_fn(u, scale, soa64, material, bc, f_ext):
+    """f64 residual via the SoA element kernels. The AoS [E,q,3,3] layout
+    pads its trailing (3,3) dims onto (4,128) TPU tiles — 57x memory
+    expansion, OOM at 1M DOF — so the f64 residual uses the element-last
+    layout too."""
+    state = soa_freeze(soa64, material, u.T)
+    f_int = soa_internal_force(soa64, state).T
+    r = bc.project(scale * f_ext - f_int)
+    return r, jnp.linalg.norm(r)
 
-    # f32 SoA tangent state at u and f32 PCG on K du = r
+
+def _mixed_matvec(soa, state, free32_T, v):
+    """Masked tangent action in f32 SoA layout; v [N, 3]."""
+    vm_T = v.T * free32_T
+    y_T = soa_apply_tangent(soa, state, vm_T) * free32_T
+    return y_T.T + (v - vm_T.T)
+
+
+def _mixed_prepare_fn(u, scale, soa64, soa, material, material32, bc, f_ext, pcg_tol):
+    """Phase 1 of the mixed-precision Newton step: f64 residual (SoA element
+    pass), f32 frozen tangent state, block-Jacobi blocks, PCG init."""
+    r64, _ = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
     u32_T = u.astype(jnp.float32).T  # [3, N]
-    free32_T = bc.free_mask.astype(jnp.float32).T
+    free32 = bc.free_mask.astype(jnp.float32)
     state = soa_freeze(soa, material32, u32_T)
-    diag_T = soa_diag_blocks(soa, state)  # [3, 3, N]
-    diag = jnp.transpose(diag_T, (2, 0, 1))
-    precond_inner = block_jacobi_preconditioner(diag, free32_T.T)
-
-    def matvec(v):  # v [N, 3] f32
-        vm_T = v.T * free32_T
-        y_T = soa_apply_tangent(soa, state, vm_T) * free32_T
-        return y_T.T + (v - vm_T.T)
-
-    res = pcg(
-        matvec,
+    diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
+    inv_blocks = jacobi_inverse_blocks(diag, free32)
+    pcg_state = pcg_init(
+        lambda v: _mixed_matvec(soa, state, free32.T, v),
         r64.astype(jnp.float32),
-        preconditioner=precond_inner,
+        preconditioner=lambda r: apply_block_jacobi(inv_blocks, free32, r),
         tol=pcg_tol,
-        maxiter=pcg_maxiter,
     )
-    return u + res.x.astype(u.dtype), res.iterations, res.converged
+    return pcg_state, state, inv_blocks
+
+
+def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, n_iters):
+    """Phase 2 (repeated): a bounded chunk of CG iterations. Bounded device
+    executions keep each call under backend execution limits; the Krylov
+    recurrence continues exactly across chunks (PCGState)."""
+    return pcg_chunk(
+        lambda v: _mixed_matvec(soa, state, free32.T, v),
+        pcg_state,
+        preconditioner=lambda r: apply_block_jacobi(inv_blocks, free32, r),
+        maxiter=n_iters,
+    )
 
 
 _residual_jit = jax.jit(_residual_fn)
+_residual_soa_jit = jax.jit(_residual_soa_fn)
 _step_direct_jit = jax.jit(_step_direct_fn)
 _step_matfree_jit = jax.jit(_step_matfree_fn)
 _step_bcsr_jit = jax.jit(_step_bcsr_fn)
-_step_matfree_mixed_jit = jax.jit(_step_matfree_mixed_fn)
+_mixed_prepare_jit = jax.jit(_mixed_prepare_fn)
+_mixed_chunk_jit = jax.jit(_mixed_chunk_fn, static_argnames="n_iters")
 
 
 class NewtonSolver:
@@ -217,8 +239,6 @@ class NewtonSolver:
         if self.options.linear not in ("direct", "pcg", "pcg_bcsr"):
             raise ValueError(f"unknown linear solver {self.options.linear!r}")
         self.element = mesh.element
-        self.geom = precompute_geometry(mesh.coords, mesh.conn, self.element)
-        self.scatter = NodeScatter.build(mesh.conn_host, mesh.n_nodes)
         self.f_ext = (
             jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype) if f_ext is None else f_ext
         )
@@ -228,19 +248,43 @@ class NewtonSolver:
             self.bcsr = None
         self._pcg_tol = jnp.asarray(self.options.pcg_tol, mesh.coords.dtype)
         self._pcg_maxiter = jnp.asarray(self.options.pcg_maxiter, jnp.int32)
+        self._geom = None
+        self._scatter = None
         if self.options.precision == "mixed":
             if self.options.linear != "pcg":
                 raise ValueError("precision='mixed' requires linear='pcg'")
             from fea_large_tpu.ops.soa import SoAProblem
 
             self._soa = SoAProblem.build(mesh, jnp.float32)
+            self._soa64 = SoAProblem.build(mesh, jnp.float64)
             self._material32 = jax.tree.map(
                 lambda x: x.astype(jnp.float32), material
             )
             self._pcg_tol32 = jnp.asarray(self.options.pcg_tol, jnp.float32)
 
+    # AoS geometry/scatter are built lazily: the mixed path never needs them
+    # (the AoS [E,q,npe,3] f64 gradN table alone pads to ~17x its size on
+    # TPU tiles — gigabytes at 1M DOF).
+    @property
+    def geom(self):
+        if self._geom is None:
+            self._geom = precompute_geometry(
+                self.mesh.coords, self.mesh.conn, self.element
+            )
+        return self._geom
+
+    @property
+    def scatter(self):
+        if self._scatter is None:
+            self._scatter = NodeScatter.build(self.mesh.conn_host, self.mesh.n_nodes)
+        return self._scatter
+
     # -- device-program wrappers --------------------------------------------
     def _residual(self, u, scale):
+        if self.options.precision == "mixed":
+            return _residual_soa_jit(
+                u, scale, self._soa64, self.material, self.bc, self.f_ext
+            )
         return _residual_jit(
             u, scale, self.mesh.conn, self.geom, self.material, self.bc,
             self.f_ext, self.scatter,
@@ -254,11 +298,7 @@ class NewtonSolver:
             )
         if self.options.linear == "pcg":
             if self.options.precision == "mixed":
-                return _step_matfree_mixed_jit(
-                    u, scale, self.mesh.conn, self.geom, self._soa,
-                    self.material, self._material32, self.bc, self.f_ext,
-                    self.scatter, self._pcg_tol32, self._pcg_maxiter,
-                )
+                return self._step_mixed(u, scale)
             return _step_matfree_jit(
                 u, scale, self.mesh.conn, self.geom, self.material, self.bc,
                 self.f_ext, self.scatter, self._pcg_tol, self._pcg_maxiter,
@@ -268,9 +308,45 @@ class NewtonSolver:
             self.f_ext, self.scatter, self.bcsr, self._pcg_tol, self._pcg_maxiter,
         )
 
+    def _step_mixed(self, u, scale):
+        """Chunked mixed-precision step: one prepare call, then bounded CG
+        chunks under host control (keeps every device execution short)."""
+        free32 = self.bc.free_mask.astype(jnp.float32)
+        st, state, inv_blocks = _mixed_prepare_jit(
+            u, scale, self._soa64, self._soa, self.material,
+            self._material32, self.bc, self.f_ext, self._pcg_tol32,
+        )
+        chunk = self.options.pcg_chunk
+        maxiter = self.options.pcg_maxiter
+        while True:
+            k = int(st.k)
+            done = (
+                (not bool(st.ok))
+                or float(jnp.sqrt(st.rr)) <= float(st.stop)
+                or k >= maxiter
+            )
+            if done:
+                break
+            n = min(chunk, maxiter - k)
+            st = _mixed_chunk_jit(st, self._soa, state, inv_blocks, free32, n)
+        converged = bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)
+        return u + st.x.astype(u.dtype), st.k, jnp.bool_(converged)
+
     def step_fn(self, u, scale):
         """One jittable Newton step (also used by the driver's compile
         check, __graft_entry__.entry)."""
+        if self.options.precision == "mixed":
+            # the chunked mixed step is host-orchestrated; expose a single
+            # bounded-chunk jittable equivalent for compile checks
+            free32 = self.bc.free_mask.astype(jnp.float32)
+            st, state, inv_blocks = _mixed_prepare_fn(
+                u, scale, self._soa64, self._soa, self.material,
+                self._material32, self.bc, self.f_ext, self._pcg_tol32,
+            )
+            st = _mixed_chunk_fn(
+                st, self._soa, state, inv_blocks, free32, self.options.pcg_chunk
+            )
+            return u + st.x.astype(u.dtype), st.k, st.ok
         return self._step(u, scale)
 
     # -- host control loop ---------------------------------------------------
