@@ -66,6 +66,9 @@ def main():
     # converges to the same fixed point as f64 (tests/test_solvers.py).
     # FEA_BENCH_PRECISION=f64 benches the pure parity path instead.
     precision = os.environ.get("FEA_BENCH_PRECISION", "mixed")
+    precond = os.environ.get("FEA_BENCH_PRECOND", "two_level")
+    if precision != "mixed":
+        precond = "jacobi"
     solver = NewtonSolver(
         mesh,
         mat,
@@ -73,6 +76,7 @@ def main():
         options=SolverOptions(
             linear="pcg",
             precision=precision,
+            preconditioner=precond,
             pcg_tol=1e-6 if precision == "mixed" else 1e-8,
             pcg_maxiter=2000,
         ),

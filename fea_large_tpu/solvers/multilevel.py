@@ -1,0 +1,190 @@
+"""Two-level additive preconditioner (coarse aggregation + block-Jacobi).
+
+Net-new vs the reference (which ships plain Jacobi-PCG — SURVEY.md C12):
+block-Jacobi alone needs O(h^-1) CG iterations (measured 214 -> 482 from
+95k to 1M DOF), so large meshes pay hundreds of SpMVs per Newton step. A
+coarse correction removes the low-frequency modes:
+
+    M^{-1} r = Jacobi(r) + P Ac^{-1} P^T r
+
+  * P — piecewise-constant prolongation over geometric node AGGREGATES
+    (host-side: coordinate binning into ~n_nodes/agg_size boxes), identity
+    across the 3 displacement components.
+  * Ac = P^T K0 P — the aggregated stiffness at the REFERENCE state (u=0),
+    assembled once per solve via the BCSR path, BC-masked, Cholesky-
+    factored on device in f32 and reused for every Newton step/iteration
+    (a frozen coarse operator stays spectrally equivalent under moderate
+    deformation; Jacobi tracks the current tangent).
+
+Both terms are SPD, so CG theory applies. Apply cost per iteration: one
+segment-sum (P^T), one dense triangular pair (Nc ~ hundreds), one gather
+(P) — small next to the element SpMV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from fea_large_tpu.config import INDEX_DTYPE
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CoarseSpace:
+    """Aggregation maps + factored coarse operator (pytree)."""
+
+    agg: jnp.ndarray  # i32[N] aggregate id per node
+    perm: jnp.ndarray  # i32[N] stable sort of nodes by aggregate
+    segids: jnp.ndarray  # i32[N] aggregate per sorted slot
+    chol: jnp.ndarray  # f32[3*Nc, 3*Nc] lower Cholesky factor of Ac
+    n_agg: int
+
+    def tree_flatten(self):
+        return (self.agg, self.perm, self.segids, self.chol), self.n_agg
+
+    @classmethod
+    def tree_unflatten(cls, n_agg, children):
+        return cls(*children, n_agg)
+
+    # -- transfer operators --------------------------------------------------
+    def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
+        """P^T r: [N, 3] -> [Nc, 3] (sorted segment sum — deterministic)."""
+        return jax.ops.segment_sum(
+            r[self.perm], self.segids, num_segments=self.n_agg,
+            indices_are_sorted=True,
+        )
+
+    def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
+        """P xc: [Nc, 3] -> [N, 3]."""
+        return xc[self.agg]
+
+    def coarse_solve(self, rc: jnp.ndarray) -> jnp.ndarray:
+        """Ac^{-1} rc via the cached Cholesky factor."""
+        x = jsl.cho_solve((self.chol, True), rc.reshape(-1).astype(self.chol.dtype))
+        return x.reshape(rc.shape).astype(rc.dtype)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Coarse correction P Ac^{-1} P^T r."""
+        return self.prolong(self.coarse_solve(self.restrict(r)))
+
+
+def aggregate_nodes(coords: np.ndarray, agg_size: int = 512) -> np.ndarray:
+    """Geometric aggregation: bin nodes into a uniform grid with ~agg_size
+    nodes per cell; compact the labels. Host-side, O(N)."""
+    coords = np.asarray(coords)
+    N = coords.shape[0]
+    n_cells = max(1, N // agg_size)
+    per_axis = max(1, round(n_cells ** (1.0 / 3.0)))
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    ijk = np.minimum(
+        (per_axis * (coords - lo) / span).astype(np.int64), per_axis - 1
+    )
+    raw = (ijk[:, 0] * per_axis + ijk[:, 1]) * per_axis + ijk[:, 2]
+    _, agg = np.unique(raw, return_inverse=True)
+    return agg.astype(np.int64)
+
+
+def default_agg_size(n_nodes: int, target_coarse: int = 1200) -> int:
+    """Aggregate size targeting ~`target_coarse` aggregates (the coarse
+    Cholesky is dense [3Nc, 3Nc]; Nc ~ 1-2k keeps the factorization and the
+    per-iteration triangular solves negligible)."""
+    return int(np.clip(n_nodes // target_coarse, 32, 4096))
+
+
+def build_coarse_space(
+    mesh,
+    material,
+    bc,
+    agg_size: int | None = None,
+    dtype=jnp.float32,
+) -> CoarseSpace:
+    """Assemble + factor the coarse operator at the reference state u=0.
+
+    At u=0 both shipped hyperelastic tangents reduce EXACTLY to isotropic
+    linear elasticity (S=0, C=I, so alpha=lam, A=I, beta=2mu in the
+    factored form - SURVEY.md §5.4), so the frozen coarse matrix is
+
+      Ke0[a,i,b,k] = sum_q V [lam g_a[i] g_b[k]
+                              + mu (d_ik g_a.g_b + g_a[k] g_b[i])]
+
+    assembled on host (vectorized numpy + bincount: AoS [.,npe,3,npe,3]
+    element tangents pad catastrophically on TPU tiles, and this is a
+    one-time cold path - SURVEY.md §4.5), BC-masked, aggregated with P,
+    then Cholesky-factored once on device.
+    """
+    if agg_size is None:
+        agg_size = default_agg_size(mesh.n_nodes)
+    agg = aggregate_nodes(mesh.coords_host, agg_size)
+    n_agg = int(agg.max()) + 1
+    perm = np.argsort(agg, kind="stable")
+
+    lam = float(material.lam)
+    mu = float(material.mu)
+    Ac = _host_coarse_matrix(mesh, lam, mu, agg, n_agg, np.asarray(bc.free_mask))
+
+    # fully-fixed aggregate components have empty rows: unit diagonal (plus
+    # a tiny ridge so f32 Cholesky stays robust)
+    d = np.diagonal(Ac)
+    fix = (d <= 0.0).astype(Ac.dtype)
+    Ac = Ac + np.diag(fix + 1e-8 * max(d.max(), 1.0))
+    chol = jsl.cho_factor(jnp.asarray(Ac, dtype), lower=True)[0]
+    return CoarseSpace(
+        agg=jnp.asarray(agg, INDEX_DTYPE),
+        perm=jnp.asarray(perm, INDEX_DTYPE),
+        segids=jnp.asarray(agg[perm], INDEX_DTYPE),
+        chol=chol,
+        n_agg=n_agg,
+    )
+
+
+def _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask, chunk=8192):
+    """Dense [3Nc, 3Nc] Galerkin coarse matrix P^T M K0 M P (numpy)."""
+    elem = mesh.element
+    coords, conn = mesh.coords_host, mesh.conn_host
+    dN = np.asarray(elem.shape_grad)  # [q, npe, 3]
+    w = np.asarray(elem.quad_weights)
+    E, npe = conn.shape
+    nc3 = 3 * n_agg
+    Ac = np.zeros(nc3 * nc3)
+    eye = np.eye(3)
+    for s in range(0, E, chunk):
+        c = conn[s : s + chunk]
+        Xe = coords[c]
+        J = np.einsum("eai,qaj->eqij", Xe, dN)
+        detJ = np.linalg.det(J)
+        g = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [e,q,npe,3]
+        V = detJ * w[None, :]
+        gV = g * V[:, :, None, None]
+        # linear-elastic element tangent at u=0 (docstring formula)
+        gg = np.einsum("eqai,eqbi->eab", gV, g)
+        Ke = (
+            lam * np.einsum("eqai,eqbk->eaibk", gV, g)
+            + mu * np.einsum("eab,ik->eaibk", gg, eye)
+            + mu * np.einsum("eqak,eqbi->eaibk", gV, g)
+        )
+        # BC masking: entry (node_a, i), (node_b, k) *= m_a_i m_b_k
+        m = free_mask[c]  # [e, npe, 3]
+        Ke *= m[:, :, :, None, None] * m[:, None, None, :, :]
+        # coarse DOF ids and flat keys
+        cdof = (3 * agg[c][:, :, None] + np.arange(3)).reshape(len(c), 3 * npe)
+        keys = (cdof[:, :, None] * nc3 + cdof[:, None, :]).reshape(-1)
+        Ac += np.bincount(keys, weights=Ke.reshape(-1), minlength=nc3 * nc3)
+    return Ac.reshape(nc3, nc3)
+
+
+def two_level_preconditioner(coarse: CoarseSpace, jacobi_apply, free_mask):
+    """Additive two-level apply: M^{-1} r = Jacobi(r) + M P Ac^{-1} P^T r
+    (M = free-DOF mask, so the preconditioner is identity-compatible on
+    fixed DOFs; both terms SPD on the free subspace)."""
+
+    def apply(r):
+        return jacobi_apply(r) + free_mask * coarse.apply(r)
+
+    return apply

@@ -74,6 +74,11 @@ class SolverOptions:
     pcg_maxiter: int = 5000
     pcg_chunk: int = 250  # CG iterations per device call (mixed path)
     max_bisections: int = 5
+    #: "jacobi" (the reference's preconditioner, SURVEY.md C12) or
+    #: "two_level" (net-new coarse aggregation correction — cuts the
+    #: O(h^-1) iteration growth; solvers/multilevel.py). Mixed path only.
+    preconditioner: str = "jacobi"
+    agg_size: int | None = None  # nodes/aggregate ("two_level"; None = auto)
     #: "f64" — everything in f64 (the parity path, BASELINE.json:5).
     #: "mixed" — f64 residuals/updates + f32 tangent/PCG (SURVEY.md §9
     #: risk 2/5): the linear solve is a Newton DIRECTION, so f32 error there
@@ -177,7 +182,23 @@ def _mixed_matvec(soa, state, free32_T, v):
     return y_T.T + (v - vm_T.T)
 
 
-def _mixed_prepare_fn(u, scale, soa64, soa, material, material32, bc, f_ext, pcg_tol):
+def _mixed_precond(inv_blocks, free32, coarse):
+    """Block-Jacobi, optionally augmented by the two-level coarse
+    correction (solvers/multilevel.py). `coarse=None` selects plain Jacobi
+    at trace time."""
+
+    def apply(r):
+        z = apply_block_jacobi(inv_blocks, free32, r)
+        if coarse is not None:
+            z = z + free32 * coarse.apply(r)
+        return z
+
+    return apply
+
+
+def _mixed_prepare_fn(
+    u, scale, soa64, soa, material, material32, bc, f_ext, pcg_tol, coarse
+):
     """Phase 1 of the mixed-precision Newton step: f64 residual (SoA element
     pass), f32 frozen tangent state, block-Jacobi blocks, PCG init."""
     r64, _ = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
@@ -189,20 +210,20 @@ def _mixed_prepare_fn(u, scale, soa64, soa, material, material32, bc, f_ext, pcg
     pcg_state = pcg_init(
         lambda v: _mixed_matvec(soa, state, free32.T, v),
         r64.astype(jnp.float32),
-        preconditioner=lambda r: apply_block_jacobi(inv_blocks, free32, r),
+        preconditioner=_mixed_precond(inv_blocks, free32, coarse),
         tol=pcg_tol,
     )
     return pcg_state, state, inv_blocks
 
 
-def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, n_iters):
+def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters):
     """Phase 2 (repeated): a bounded chunk of CG iterations. Bounded device
     executions keep each call under backend execution limits; the Krylov
     recurrence continues exactly across chunks (PCGState)."""
     return pcg_chunk(
         lambda v: _mixed_matvec(soa, state, free32.T, v),
         pcg_state,
-        preconditioner=lambda r: apply_block_jacobi(inv_blocks, free32, r),
+        preconditioner=_mixed_precond(inv_blocks, free32, coarse),
         maxiter=n_iters,
     )
 
@@ -261,6 +282,14 @@ class NewtonSolver:
                 lambda x: x.astype(jnp.float32), material
             )
             self._pcg_tol32 = jnp.asarray(self.options.pcg_tol, jnp.float32)
+            if self.options.preconditioner == "two_level":
+                from fea_large_tpu.solvers.multilevel import build_coarse_space
+
+                self._coarse = build_coarse_space(
+                    mesh, material, bc, agg_size=self.options.agg_size
+                )
+            else:
+                self._coarse = None
 
     # AoS geometry/scatter are built lazily: the mixed path never needs them
     # (the AoS [E,q,npe,3] f64 gradN table alone pads to ~17x its size on
@@ -315,6 +344,7 @@ class NewtonSolver:
         st, state, inv_blocks = _mixed_prepare_jit(
             u, scale, self._soa64, self._soa, self.material,
             self._material32, self.bc, self.f_ext, self._pcg_tol32,
+            self._coarse,
         )
         chunk = self.options.pcg_chunk
         maxiter = self.options.pcg_maxiter
@@ -328,7 +358,9 @@ class NewtonSolver:
             if done:
                 break
             n = min(chunk, maxiter - k)
-            st = _mixed_chunk_jit(st, self._soa, state, inv_blocks, free32, n)
+            st = _mixed_chunk_jit(
+                st, self._soa, state, inv_blocks, free32, self._coarse, n
+            )
         converged = bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)
         return u + st.x.astype(u.dtype), st.k, jnp.bool_(converged)
 
@@ -342,9 +374,11 @@ class NewtonSolver:
             st, state, inv_blocks = _mixed_prepare_fn(
                 u, scale, self._soa64, self._soa, self.material,
                 self._material32, self.bc, self.f_ext, self._pcg_tol32,
+                self._coarse,
             )
             st = _mixed_chunk_fn(
-                st, self._soa, state, inv_blocks, free32, self.options.pcg_chunk
+                st, self._soa, state, inv_blocks, free32, self._coarse,
+                self.options.pcg_chunk,
             )
             return u + st.x.astype(u.dtype), st.k, st.ok
         return self._step(u, scale)
