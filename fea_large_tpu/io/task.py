@@ -142,7 +142,12 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         max_newton=int(sv.get("max_newton", 30)),
         pcg_tol=float(sv.get("pcg_tol", 1e-12)),
         pcg_maxiter=int(sv.get("pcg_maxiter", 5000)),
+        pcg_chunk=int(sv.get("pcg_chunk", 250)),
         max_bisections=int(sv.get("max_bisections", 5)),
+        precision=sv.get("precision", "f64"),
+        preconditioner=sv.get("preconditioner", "jacobi"),
+        agg_size=sv.get("agg_size"),
+        forcing=sv.get("forcing", "fixed"),
     )
     out = data.get("output", {})
     output = OutputSpec(

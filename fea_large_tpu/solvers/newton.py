@@ -79,6 +79,12 @@ class SolverOptions:
     #: O(h^-1) iteration growth; solvers/multilevel.py). Mixed path only.
     preconditioner: str = "jacobi"
     agg_size: int | None = None  # nodes/aggregate ("two_level"; None = auto)
+    #: linear-solve forcing: "fixed" solves every Newton system to pcg_tol;
+    #: "ew" uses Eisenstat-Walker (choice 2) adaptive forcing — early Newton
+    #: systems are solved loosely (the direction is inexact anyway far from
+    #: the root), late ones tightly; cuts total PCG work ~2-3x per solve
+    #: without changing the converged solution (inexact-Newton theory).
+    forcing: str = "fixed"
     #: "f64" — everything in f64 (the parity path, BASELINE.json:5).
     #: "mixed" — f64 residuals/updates + f32 tangent/PCG (SURVEY.md §9
     #: risk 2/5): the linear solve is a Newton DIRECTION, so f32 error there
@@ -319,7 +325,7 @@ class NewtonSolver:
             self.f_ext, self.scatter,
         )
 
-    def _step(self, u, scale):
+    def _step(self, u, scale, lin_tol=None):
         if self.options.linear == "direct":
             return _step_direct_jit(
                 u, scale, self.mesh.conn, self.geom, self.material, self.bc,
@@ -327,23 +333,32 @@ class NewtonSolver:
             )
         if self.options.linear == "pcg":
             if self.options.precision == "mixed":
-                return self._step_mixed(u, scale)
+                return self._step_mixed(u, scale, lin_tol)
+            tol = self._pcg_tol if lin_tol is None else jnp.asarray(
+                lin_tol, self._pcg_tol.dtype
+            )
             return _step_matfree_jit(
                 u, scale, self.mesh.conn, self.geom, self.material, self.bc,
-                self.f_ext, self.scatter, self._pcg_tol, self._pcg_maxiter,
+                self.f_ext, self.scatter, tol, self._pcg_maxiter,
             )
+        tol = self._pcg_tol if lin_tol is None else jnp.asarray(
+            lin_tol, self._pcg_tol.dtype
+        )
         return _step_bcsr_jit(
             u, scale, self.mesh.conn, self.geom, self.material, self.bc,
-            self.f_ext, self.scatter, self.bcsr, self._pcg_tol, self._pcg_maxiter,
+            self.f_ext, self.scatter, self.bcsr, tol, self._pcg_maxiter,
         )
 
-    def _step_mixed(self, u, scale):
+    def _step_mixed(self, u, scale, lin_tol=None):
         """Chunked mixed-precision step: one prepare call, then bounded CG
         chunks under host control (keeps every device execution short)."""
         free32 = self.bc.free_mask.astype(jnp.float32)
+        tol = self._pcg_tol32 if lin_tol is None else jnp.asarray(
+            lin_tol, jnp.float32
+        )
         st, state, inv_blocks = _mixed_prepare_jit(
             u, scale, self._soa64, self._soa, self.material,
-            self._material32, self.bc, self.f_ext, self._pcg_tol32,
+            self._material32, self.bc, self.f_ext, tol,
             self._coarse,
         )
         chunk = self.options.pcg_chunk
@@ -391,6 +406,7 @@ class NewtonSolver:
         u = self.bc.impose(u, scale)
         norms, pcg_iters = [], []
         norm0 = None
+        eta = 0.5  # Eisenstat-Walker initial forcing
         for it in range(opts.max_newton):
             _, norm = self._residual(u, scale)
             norm = float(norm)
@@ -402,7 +418,17 @@ class NewtonSolver:
                     float(scale), it, norms, pcg_iters, time.perf_counter() - t0
                 )
                 return u, True, rec
-            u, lin_iters, lin_ok = self._step(u, scale)
+            lin_tol = None
+            if opts.forcing == "ew" and opts.linear != "direct":
+                # EW choice 2 (gamma=0.9, alpha=2) with the standard
+                # safeguard against over-tightening
+                if it > 0:
+                    cand = 0.9 * (norms[-1] / norms[-2]) ** 2
+                    safe = 0.9 * eta**2
+                    eta = max(cand, safe) if safe > 0.1 else cand
+                eta = min(max(eta, opts.pcg_tol), 0.5)
+                lin_tol = eta
+            u, lin_iters, lin_ok = self._step(u, scale, lin_tol)
             pcg_iters.append(int(lin_iters))
             if not bool(lin_ok):
                 break

@@ -180,3 +180,29 @@ def test_mixed_precision_matches_f64(rng):
     scale = float(np.abs(np.asarray(ref.u)).max())
     err = float(np.abs(np.asarray(mixed.u) - np.asarray(ref.u)).max()) / scale
     assert err < 1e-8, err
+
+
+def test_eisenstat_walker_forcing(rng):
+    """EW adaptive forcing must reach the same solution with fewer total
+    PCG iterations than fixed-tolerance inexact Newton."""
+    mesh = box_mesh(6, 6, 6, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.08).build()
+
+    def run(forcing):
+        solver = NewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(
+                linear="pcg", precision="mixed", forcing=forcing,
+                pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
+            ),
+        )
+        res = solver.solve()
+        assert res.converged, forcing
+        return np.asarray(res.u), sum(sum(r.pcg_iters) for r in res.history)
+
+    u_fix, it_fix = run("fixed")
+    u_ew, it_ew = run("ew")
+    scale = np.abs(u_fix).max()
+    np.testing.assert_allclose(u_ew, u_fix, rtol=0, atol=1e-6 * scale)
+    assert it_ew < it_fix, (it_ew, it_fix)
