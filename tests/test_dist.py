@@ -151,3 +151,33 @@ def test_sharded_with_external_forces(rng):
     u = sharded.u_global(res.u)
     scale = np.abs(np.asarray(ref.u)).max()
     np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
+
+
+@pytest.mark.parametrize("precond", ["jacobi", "two_level"])
+def test_sharded_mixed_precision(precond, rng):
+    """Sharded mixed-precision path (SoA f32 PCG + f64 residual, psum dots,
+    ppermute halos) must reproduce the single-device f64 solution."""
+    devs = _devices(4)
+    mesh = box_mesh(4, 2, 2, lx=4.0, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", -0.08).build()
+
+    ref = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13),
+    ).solve()
+    assert ref.converged
+
+    sharded = ShardedNewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", n_steps=1, precision="mixed", preconditioner=precond,
+            agg_size=32, pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
+        ),
+        devices=devs,
+    )
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    assert np.abs(u - np.asarray(ref.u)).max() < 1e-7 * scale
