@@ -169,12 +169,17 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
 
 
 def load_task(path) -> Task:
-    """Load a task from a .json or .toml file."""
+    """Load a task from a .json, .toml, or .sexp/.task file (the latter is
+    the reference's native S-expression format — io.sexp)."""
     path = pathlib.Path(path)
     if path.suffix == ".toml":
         import tomllib
 
         data = tomllib.loads(path.read_text())
+    elif path.suffix in (".sexp", ".task", ".lisp"):
+        from fea_large_tpu.io.sexp import load_sexp_task_dict
+
+        data = load_sexp_task_dict(path)
     else:
         data = json.loads(path.read_text())
     return _parse(data, path.parent, name=path.stem)

@@ -168,6 +168,59 @@ def pallas_element_apply(
 
 
 # ---------------------------------------------------------------------------
+# BCSR SpMV (SURVEY.md C10: "SpMV as a Pallas kernel")
+# ---------------------------------------------------------------------------
+
+
+def _spmv_kernel(data_ref, xg_ref, out_ref):
+    """Per-slot 3x3 block matvec over a lane-blocked slot axis:
+    out[i] = sum_j data[3i+j] * xg[j]."""
+    d = data_ref[:]  # [9, BK]
+    xg = xg_ref[:]  # [3, BK]
+    out_ref[:] = jnp.stack(
+        [sum(d[3 * i + j] * xg[j] for j in range(3)) for i in range(3)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_k",))
+def _pallas_block_matvec(data9, xg, block_k: int = 2048):
+    nnzb = data9.shape[-1]
+    d = _pad_e(data9, block_k)
+    x = _pad_e(xg, block_k)
+    grid = (d.shape[-1] // block_k,)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block_k), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        _spmv_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, d.shape[-1]), data9.dtype),
+        grid=grid,
+        in_specs=[spec(9), spec(3)],
+        out_specs=spec(3),
+        interpret=pallas_interpret(),
+    )(d, x)
+    return out[:, :nnzb]
+
+
+def bcsr_spmv_pallas(K, x, block_k: int = 2048):
+    """y = K @ x for a `assembly.bcsr.BCSRMatrix` with the per-slot block
+    matvec as a Pallas kernel (slot axis in TPU lanes). The unstructured
+    gather (x rows per stored block) and the row-wise sorted segment sum
+    stay in XLA — TPU has no hardware gather, so Pallas cannot improve the
+    indexing, only the dense block math."""
+    s = K.structure
+    data9 = jnp.transpose(K.data, (1, 2, 0)).reshape(9, s.nnzb)
+    xg = x[s.indices].T  # [3, nnzb]
+    contrib = _pallas_block_matvec(data9, xg, block_k=block_k).T  # [nnzb, 3]
+    return jax.ops.segment_sum(
+        contrib, s.row_ids, num_segments=s.n_nodes, indices_are_sorted=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # SoAState adapters
 # ---------------------------------------------------------------------------
 

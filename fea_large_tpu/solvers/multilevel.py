@@ -91,12 +91,12 @@ def aggregate_nodes(coords: np.ndarray, agg_size: int = 512) -> np.ndarray:
     return agg.astype(np.int64)
 
 
-def default_agg_size(n_nodes: int, target_coarse: int = 3500) -> int:
+def default_agg_size(n_nodes: int, target_coarse: int = 5000) -> int:
     """Aggregate size targeting ~`target_coarse` aggregates. Benchmarked at
-    1M DOF: Nc~3.5k (agg 96) beats Nc~1.2k (agg 285) — 92 vs 111 PCG
-    iterations — while the dense [3Nc, 3Nc] f32 Cholesky stays affordable;
-    beyond ~Nc 5k the factorization and per-iteration triangular solves
-    start to dominate."""
+    1M DOF (iterations / s-per-step): Nc 1.2k -> 111 / 16.2s; Nc 3.6k ->
+    92 / 13.9s; Nc 7.1k -> 71 / 11.7s — but the dense [3Nc, 3Nc] f32
+    Cholesky setup and per-iteration triangular solves grow with Nc;
+    ~Nc 5k balances both. A deeper hierarchy is the next step beyond."""
     return int(np.clip(n_nodes // target_coarse, 16, 4096))
 
 

@@ -159,3 +159,47 @@ def test_cli_run_and_resume(tmp_path):
     assert conv["converged"] and len(conv["steps"]) == 2
     assert (out / "tiny_deformed.vtk").exists()
     assert (out / "tiny_final.npz").exists()
+
+
+def test_sexp_task_equivalent_to_json(tmp_path):
+    """The reference's native S-expression task format loads to the same
+    problem as the JSON schema (SURVEY.md C14)."""
+    from fea_large_tpu.io.task import load_task
+
+    json_task = load_task("tasks/block_compression_tet10.json")
+    sexp_task = load_task("tasks/block_compression_tet10.sexp")
+    assert sexp_task.mesh.n_nodes == json_task.mesh.n_nodes
+    assert sexp_task.mesh.element_type == "tet10"
+    assert float(sexp_task.material.lam) == float(json_task.material.lam)
+    assert float(sexp_task.material.mu) == float(json_task.material.mu)
+    assert sexp_task.loading.n_steps == 4
+    assert sexp_task.solver.linear == "pcg_bcsr"
+    assert sexp_task.solver.pcg_tol == 1e-12
+    d_json = {(d.set, d.components, d.value) for d in json_task.loading.dirichlet}
+    d_sexp = {(d.set, d.components, d.value) for d in sexp_task.loading.dirichlet}
+    assert d_json == d_sexp
+
+
+def test_sexp_forces_and_comments(tmp_path):
+    from fea_large_tpu.io.task import load_task
+
+    p = tmp_path / "t.sexp"
+    p.write_text(
+        """
+; a comment
+(task
+  (mesh (box (nx 2) (ny 1) (nz 1) (lx 2.0)))
+  (element-type tet4)
+  (material (model svk) (lambda 1.5) (mu 0.7))
+  (loading
+    (n-steps 2)
+    (dirichlet (set xmin))
+    (forces (set xmax) (vector 0.0 0.0 -0.1))))
+"""
+    )
+    task = load_task(p)
+    assert task.mesh.n_elements == 10
+    assert float(task.material.lam) == 1.5
+    assert task.loading.forces[0].vector == (0.0, 0.0, -0.1)
+    f = task.build_forces()
+    assert f is not None and float(f.sum()) != 0.0

@@ -45,3 +45,25 @@ def test_pallas_apply_nondivisible_block(rng):
     np.testing.assert_allclose(
         np.asarray(y_pal), np.asarray(y_ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_pallas_bcsr_spmv_matches_xla(rng):
+    """Pallas BCSR SpMV == BCSRMatrix.matvec (SURVEY.md C10)."""
+    from fea_large_tpu.assembly.bcsr import BCSRStructure, assemble_bcsr
+    from fea_large_tpu.assembly.scatter import NodeScatter
+    from fea_large_tpu.elements.kernels import precompute_geometry
+    from fea_large_tpu.ops.pallas_kernels import bcsr_spmv_pallas
+
+    mesh = box_mesh(3, 2, 2, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.2), jnp.asarray(0.8))
+    geom = precompute_geometry(mesh.coords, mesh.conn, mesh.element)
+    scatter = NodeScatter.build(mesh.conn_host, mesh.n_nodes)
+    structure = BCSRStructure.build(mesh.conn_host, mesh.n_nodes)
+    u = jnp.asarray(0.03 * rng.standard_normal((mesh.n_nodes, 3)))
+    K, _ = assemble_bcsr(u, mesh.conn, geom, mat, structure, scatter)
+    v = jnp.asarray(rng.standard_normal((mesh.n_nodes, 3)))
+    y_ref = K.matvec(v)
+    y_pal = bcsr_spmv_pallas(K, v, block_k=256)
+    np.testing.assert_allclose(
+        np.asarray(y_pal), np.asarray(y_ref), rtol=1e-12, atol=1e-12
+    )
