@@ -93,7 +93,15 @@ def _cmd_run(args) -> int:
     if task.output.npz:
         export_npz(out_dir / f"{task.name}_final.npz", u, len(records))
     if task.output.vtk:
-        export_vtk(out_dir / f"{task.name}_deformed.vtk", mesh, u)
+        from fea_large_tpu.postprocess import nodal_stress
+
+        sigma, vm = nodal_stress(mesh, task.material, result.u)
+        export_vtk(
+            out_dir / f"{task.name}_deformed.vtk",
+            mesh,
+            u,
+            point_data={"von_mises": np.asarray(vm)},
+        )
     return 0 if result.converged else 1
 
 

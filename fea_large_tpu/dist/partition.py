@@ -84,21 +84,50 @@ class Partition:
         return out
 
 
-def partition_mesh(mesh: Mesh, n_shards: int, axis: int | None = None) -> Partition:
-    """Slab-partition `mesh` into `n_shards` element sets with halo maps."""
+def _rcb_sets(centroids: np.ndarray, ids: np.ndarray, n_parts: int) -> list:
+    """Recursive coordinate bisection: split along the longest axis into
+    two element sets sized proportionally, recurse. Returns n_parts id
+    arrays ordered by recursion path (neighboring parts stay close in id,
+    keeping ring-hop distances small)."""
+    if n_parts == 1:
+        return [ids]
+    n_lo = n_parts // 2
+    pts = centroids[ids]
+    axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+    order = ids[np.argsort(pts[:, axis], kind="stable")]
+    cut = len(ids) * n_lo // n_parts
+    return _rcb_sets(centroids, order[:cut], n_lo) + _rcb_sets(
+        centroids, order[cut:], n_parts - n_lo
+    )
+
+
+def partition_mesh(
+    mesh: Mesh, n_shards: int, axis: int | None = None, method: str = "slab"
+) -> Partition:
+    """Partition `mesh` into `n_shards` element sets with halo maps.
+
+    method="slab" (default): contiguous slabs along one axis — halos are
+    strictly neighbor hops (kmax=1) on a 1-D ICI ring. method="rcb":
+    recursive coordinate bisection — smaller interfaces on compact meshes,
+    at the cost of multi-hop halo exchanges (the ring-hop machinery handles
+    any kmax)."""
     coords = mesh.coords_host
     conn = mesh.conn_host.astype(np.int64)
     E, npe = conn.shape
     N = coords.shape[0]
     S = n_shards
 
-    if axis is None:
-        extent = coords.max(axis=0) - coords.min(axis=0)
-        axis = int(np.argmax(extent))
-
     centroids = coords[conn[:, :4]].mean(axis=1)  # geometric vertices suffice
-    order = np.argsort(centroids[:, axis], kind="stable")
-    elem_sets = np.array_split(order, S)
+    if method == "rcb":
+        elem_sets = _rcb_sets(centroids, np.arange(E), S)
+    elif method == "slab":
+        if axis is None:
+            extent = coords.max(axis=0) - coords.min(axis=0)
+            axis = int(np.argmax(extent))
+        order = np.argsort(centroids[:, axis], kind="stable")
+        elem_sets = np.array_split(order, S)
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
 
     # ownership: lowest-numbered touching shard
     owner = np.full(N, S, np.int64)

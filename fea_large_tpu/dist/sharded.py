@@ -141,13 +141,14 @@ class ShardedNewtonSolver:
         f_ext: jnp.ndarray | None = None,
         options: SolverOptions | None = None,
         devices=None,
+        partition_method: str = "slab",
     ):
         self.mesh = mesh
         self.material = material
         self.options = options or SolverOptions()
         devices = list(jax.devices()) if devices is None else list(devices)
         S = len(devices)
-        self.part = partition_mesh(mesh, S)
+        self.part = partition_mesh(mesh, S, method=partition_method)
         part = self.part
 
         gradN, detJxW = _host_geometry(mesh, part)

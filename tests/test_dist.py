@@ -181,3 +181,36 @@ def test_sharded_mixed_precision(precond, rng):
     u = sharded.u_global(res.u)
     scale = np.abs(np.asarray(ref.u)).max()
     assert np.abs(u - np.asarray(ref.u)).max() < 1e-7 * scale
+
+
+def test_rcb_partition_invariants_and_smaller_halos():
+    """RCB partitioning keeps all invariants and yields no larger max-halo
+    than slabs on a compact mesh."""
+    mesh = box_mesh(6, 6, 6, element_type="tet4")
+    slab = partition_mesh(mesh, 8, method="slab")
+    rcb = partition_mesh(mesh, 8, method="rcb")
+    for part in (slab, rcb):
+        all_elems = part.elem_global[part.elem_global >= 0]
+        assert sorted(all_elems.tolist()) == list(range(mesh.n_elements))
+        all_owned = part.owned_global[part.owned_global >= 0]
+        assert sorted(all_owned.tolist()) == list(range(mesh.n_nodes))
+    halo_slab = int((slab.halo_global >= 0).sum())
+    halo_rcb = int((rcb.halo_global >= 0).sum())
+    assert halo_rcb <= halo_slab, (halo_rcb, halo_slab)
+
+
+def test_sharded_rcb_matches_single_device(rng):
+    devs = _devices(4)
+    mesh = box_mesh(4, 4, 4, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", 0.1).build()
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+    ref = NewtonSolver(mesh, mat, bc, options=opts).solve()
+    sharded = ShardedNewtonSolver(
+        mesh, mat, bc, options=opts, devices=devs, partition_method="rcb"
+    )
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
