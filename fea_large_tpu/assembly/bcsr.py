@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fea_large_tpu.config import DTYPE, INDEX_DTYPE
+from fea_large_tpu.config import INDEX_DTYPE
 from fea_large_tpu.elements.kernels import ElementGeometry, element_stiffness
 from fea_large_tpu.materials.base import Material
 

@@ -33,7 +33,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from fea_large_tpu.assembly.matfree import TangentState, apply_tangent
-from fea_large_tpu.assembly.scatter import NodeScatter
 from fea_large_tpu.bc import DirichletBC
 from fea_large_tpu.config import DTYPE, INDEX_DTYPE
 from fea_large_tpu.dist.partition import Partition, partition_mesh

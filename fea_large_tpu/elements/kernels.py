@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from fea_large_tpu.elements.reference import ElementType
 from fea_large_tpu.materials.base import Material
-from fea_large_tpu.ops.smallmat import det3, inv_det3
+from fea_large_tpu.ops.smallmat import inv_det3
 
 
 class ElementGeometry(NamedTuple):

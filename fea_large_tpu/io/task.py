@@ -32,8 +32,6 @@ import dataclasses
 import json
 import pathlib
 
-import numpy as np
-
 from fea_large_tpu.bc import DirichletBC, DirichletBuilder, nodal_forces
 from fea_large_tpu.materials.base import Material, make_material
 from fea_large_tpu.mesh.core import Mesh

@@ -1,6 +1,7 @@
 """Two-level preconditioner tests (solvers/multilevel.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fea_large_tpu import NeoHookean
@@ -64,3 +65,23 @@ def test_two_level_cuts_iterations_and_matches():
     scale = np.abs(u_j).max()
     np.testing.assert_allclose(u_2l, u_j, rtol=0, atol=2e-7 * scale)
     assert iters_2l < 0.75 * iters_j, (iters_2l, iters_j)
+
+
+@pytest.mark.parametrize("element_type", ["tet4", "tet10"])
+def test_factored_coarse_matrix_matches_reference(element_type):
+    """The factored (per-aggregate-sum) coarse assembly must equal the
+    direct element-tangent assembly exactly."""
+    from fea_large_tpu.solvers.multilevel import (
+        _host_coarse_matrix,
+        _host_coarse_matrix_reference,
+        aggregate_nodes,
+    )
+
+    mesh = box_mesh(3, 3, 3, element_type=element_type)
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.1).build()
+    agg = aggregate_nodes(mesh.coords_host, agg_size=12)
+    n_agg = int(agg.max()) + 1
+    m = np.asarray(bc.free_mask)
+    A1 = _host_coarse_matrix(mesh, 1.3, 0.7, agg, n_agg, m)
+    A2 = _host_coarse_matrix_reference(mesh, 1.3, 0.7, agg, n_agg, m)
+    np.testing.assert_allclose(A1, A2, rtol=1e-11, atol=1e-12)
