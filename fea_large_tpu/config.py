@@ -34,6 +34,12 @@ if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+# Debug profile (SURVEY.md §7.2c): FEA_DEBUG=1 turns on NaN screens and
+# tracer-leak checking — slow, for debugging solver blow-ups only.
+if os.environ.get("FEA_DEBUG"):
+    jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_check_tracer_leaks", True)
+
 import jax.numpy as jnp  # noqa: E402
 
 #: dtype of the correctness/parity path.

@@ -91,3 +91,32 @@ def test_element_factory_defaults():
     assert t10_5.n_quad == 5
     assert t10.shape_grad.shape == (4, 10, 3)
     assert t4.n_dof == 12 and t10.n_dof == 30
+
+
+def test_tet10_quadrature_sweep_consistency():
+    """Survey ambiguity A2: the 4-pt (degree-2) and 5-pt (degree-3) TET10
+    rules must give end-to-end solutions that agree to discretization
+    accuracy (both rules shipped as config)."""
+    import jax.numpy as jnp
+
+    from fea_large_tpu import NeoHookean
+    from fea_large_tpu.bc import DirichletBuilder
+    from fea_large_tpu.mesh.generators import box_mesh
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+    import dataclasses
+
+    mesh4 = box_mesh(2, 2, 2, element_type="tet10")
+    mesh5 = dataclasses.replace(mesh4, n_quad=5)
+    assert mesh5.element.n_quad == 5
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    us = {}
+    for mesh, tag in [(mesh4, 4), (mesh5, 5)]:
+        bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.1).build()
+        res = NewtonSolver(
+            mesh, mat, bc, options=SolverOptions(linear="direct", n_steps=1)
+        ).solve()
+        assert res.converged, tag
+        us[tag] = np.asarray(res.u)
+    diff = np.abs(us[4] - us[5]).max() / np.abs(us[4]).max()
+    assert diff < 5e-3, diff  # same discrete space, different integration
+    assert diff > 0.0  # the rules genuinely differ
