@@ -1,0 +1,95 @@
+"""Phase-level benchmark breakdown (SURVEY.md C21): times the residual
+pass, tangent freeze, PCG matvec, and preconditioner apply separately at a
+given problem size, and emits a regression-trackable JSON record.
+
+Run: python bench/breakdown.py [n]   (TET10 box resolution, default 16)
+Timings use in-loop repetition (standalone dispatch costs ~30 ms on the
+tunneled backend — CLAUDE.md).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from fea_large_tpu import NeoHookean
+from fea_large_tpu.bc import DirichletBuilder
+from fea_large_tpu.mesh.generators import box_mesh
+from fea_large_tpu.ops.soa import (
+    SoAProblem,
+    soa_apply_tangent,
+    soa_diag_blocks,
+    soa_freeze,
+    soa_internal_force,
+)
+from fea_large_tpu.solvers.linear import apply_block_jacobi, jacobi_inverse_blocks
+
+
+def loop_time(body, v0, reps=20):
+    @jax.jit
+    def run(v):
+        return jax.lax.fori_loop(0, reps, lambda i, v: body(v), v0)
+
+    jax.block_until_ready(run(v0))
+    t1 = time.perf_counter()
+    jax.block_until_ready(run(v0))
+    return (time.perf_counter() - t1) / reps
+
+
+def main(n=16):
+    mesh = box_mesh(n, n, n, element_type="tet10")
+    mat64 = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    mat32 = NeoHookean(jnp.asarray(1.0, jnp.float32), jnp.asarray(0.6, jnp.float32))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    soa64 = SoAProblem.build(mesh, jnp.float64)
+    soa32 = SoAProblem.build(mesh, jnp.float32)
+    u = jnp.zeros((mesh.n_nodes, 3)).at[:, 2].set(-0.05 * mesh.coords[:, 2])
+    u = bc.impose(u, 1.0)
+    u32_T = u.astype(jnp.float32).T
+    free32 = bc.free_mask.astype(jnp.float32)
+
+    state = jax.block_until_ready(jax.jit(soa_freeze)(soa32, mat32, u32_T))
+    diag = jnp.transpose(soa_diag_blocks(soa32, state), (2, 0, 1))
+    inv_blocks = jax.block_until_ready(jacobi_inverse_blocks(diag, free32))
+    v0 = jnp.ones((mesh.n_nodes, 3), jnp.float32)
+
+    def dep(v, x):  # consume x so nothing is dead-code-eliminated
+        return v * 0.999 + (1e-12 * jnp.sum(x)).astype(v.dtype)
+
+    phases = {
+        "residual_f64_element_pass": loop_time(
+            lambda v: dep(
+                v,
+                soa_internal_force(
+                    soa64, soa_freeze(soa64, mat64, v.T.astype(jnp.float64))
+                ),
+            ),
+            v0,
+            reps=5,
+        ),
+        "freeze_f32": loop_time(
+            lambda v: dep(v, soa_freeze(soa32, mat32, v.T).S), v0, reps=10
+        ),
+        "matvec_f32": loop_time(
+            lambda v: dep(v, soa_apply_tangent(soa32, state, v.T)), v0
+        ),
+        "jacobi_apply": loop_time(
+            lambda v: dep(v, apply_block_jacobi(inv_blocks, free32, v)), v0
+        ),
+    }
+    record = {
+        "n_dof": mesh.n_dof,
+        "n_elements": mesh.n_elements,
+        "backend": jax.default_backend(),
+        "phase_seconds": {k: round(v, 5) for k, v in phases.items()},
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16)

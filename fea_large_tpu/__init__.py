@@ -33,5 +33,9 @@ from fea_large_tpu.materials.base import (  # noqa: F401
 )
 from fea_large_tpu.materials.svk import StVenantKirchhoff  # noqa: F401
 from fea_large_tpu.materials.neo_hookean import NeoHookean  # noqa: F401
+from fea_large_tpu.materials.autodiff import (  # noqa: F401
+    AutodiffMaterial,
+    MooneyRivlin,
+)
 
 __version__ = "0.1.0"
