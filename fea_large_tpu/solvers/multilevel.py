@@ -146,12 +146,12 @@ def build_coarse_space(
     )
 
 
-def _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask, chunk=65536):
-    """Dense [3Nc, 3Nc] Galerkin coarse matrix P^T M K0 M P (numpy).
+def _coarse_entry_chunks(mesh, lam, mu, agg, free_mask, chunk=65536):
+    """Yield (slot_agg [e, nslots], blk [e, s, t, 3, 3], pair_valid) chunks
+    of the aggregated masked linear-elastic tangent at u=0.
 
-    Factored form: the masked linear-elastic element tangent at u=0
-    aggregates EXACTLY through per-(element, aggregate) sums
-    w_A[i,J] = sum_{a in A} m[a,i] g_a[J]:
+    Factored form: the masked element tangent aggregates EXACTLY through
+    per-(element, aggregate) sums w_A[i,J] = sum_{a in A} m[a,i] g_a[J]:
 
       Ac[A,i,B,k] += sum_q V [ lam w_A[i,i] w_B[k,k]
                              + mu d_ik sum_J w_A[i,J] w_B[k,J]
@@ -166,8 +166,6 @@ def _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask, chunk=65536):
     wq = np.asarray(elem.quad_weights)
     E, npe = conn.shape
     nq = dN.shape[0]
-    nc3 = 3 * n_agg
-    Ac = np.zeros(nc3 * nc3)
     for s0 in range(0, E, chunk):
         c = conn[s0 : s0 + chunk]
         e = len(c)
@@ -213,7 +211,18 @@ def _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask, chunk=65536):
         blk[..., ii, ii] += d2
 
         pair_valid = valid[:, :, None] & valid[:, None, :]
-        blk *= pair_valid[..., None, None]
+        blk = blk * pair_valid[..., None, None]
+        yield slot_agg, blk, pair_valid
+
+
+def _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask, chunk=65536):
+    """Dense [3Nc, 3Nc] Galerkin coarse matrix P^T M K0 M P (numpy)."""
+    nc3 = 3 * n_agg
+    ii = np.arange(3)
+    Ac = np.zeros(nc3 * nc3)
+    for slot_agg, blk, _ in _coarse_entry_chunks(
+        mesh, lam, mu, agg, free_mask, chunk
+    ):
         cdofs = 3 * slot_agg  # [e, nslots]
         keys = (
             (cdofs[:, :, None, None, None] + ii[None, None, None, :, None]) * nc3
@@ -259,6 +268,140 @@ def _host_coarse_matrix_reference(mesh, lam, mu, agg, n_agg, free_mask, chunk=81
         keys = (cdof[:, :, None] * nc3 + cdof[:, None, :]).reshape(-1)
         Ac += np.bincount(keys, weights=Ke.reshape(-1), minlength=nc3 * nc3)
     return Ac.reshape(nc3, nc3)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class MultilevelSpace:
+    """Three-level additive (BPX-style) correction:
+
+        M_c r = P1 [ Dc1^{-1} + P2 Ac2^{-1} P2^T ] P1^T r
+
+    with a LARGE mid level (aggregates of ~16 nodes, Nc1 ~ N/16) solved only
+    by its block diagonal, telescoped onto a small dense-Cholesky level
+    (Nc2 ~ thousands). All three terms are fixed SPD linear operators, so CG
+    theory still applies; the apply adds only O(Nc1) work over two levels.
+    """
+
+    agg1: jnp.ndarray  # i32[N]
+    perm1: jnp.ndarray  # i32[N]
+    segids1: jnp.ndarray  # i32[N]
+    dinv1: jnp.ndarray  # f32[Nc1, 3, 3] masked inverse diagonal blocks
+    agg2: jnp.ndarray  # i32[Nc1]
+    perm2: jnp.ndarray  # i32[Nc1]
+    segids2: jnp.ndarray  # i32[Nc1]
+    chol2: jnp.ndarray  # f32[3*Nc2, 3*Nc2]
+    n_agg1: int
+    n_agg2: int
+
+    def tree_flatten(self):
+        return (
+            (self.agg1, self.perm1, self.segids1, self.dinv1,
+             self.agg2, self.perm2, self.segids2, self.chol2),
+            (self.n_agg1, self.n_agg2),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        rc1 = jax.ops.segment_sum(
+            r[self.perm1], self.segids1, num_segments=self.n_agg1,
+            indices_are_sorted=True,
+        )
+        z1 = jnp.einsum("nij,nj->ni", self.dinv1.astype(r.dtype), rc1)
+        rc2 = jax.ops.segment_sum(
+            rc1[self.perm2], self.segids2, num_segments=self.n_agg2,
+            indices_are_sorted=True,
+        )
+        x2 = jsl.cho_solve(
+            (self.chol2, True), rc2.reshape(-1).astype(self.chol2.dtype)
+        ).reshape(self.n_agg2, 3).astype(r.dtype)
+        zc1 = z1 + x2[self.agg2]
+        return zc1[self.agg1]
+
+
+def build_multilevel_space(
+    mesh,
+    material,
+    bc,
+    agg_size1: int = 16,
+    target_coarse2: int = 2500,
+    dtype=jnp.float32,
+) -> MultilevelSpace:
+    """Build the three-level hierarchy at the reference state (u=0), in one
+    pass over the factored coarse-entry stream (host, cold path)."""
+    coords = mesh.coords_host
+    free_mask = np.asarray(bc.free_mask)
+    lam, mu = float(material.lam), float(material.mu)
+
+    agg1 = aggregate_nodes(coords, agg_size1)
+    n1 = int(agg1.max()) + 1
+
+    # level-2 aggregation of level-1 aggregate centroids
+    cent = np.zeros((n1, 3))
+    cnt = np.bincount(agg1, minlength=n1).astype(float)
+    for d in range(3):
+        cent[:, d] = np.bincount(agg1, weights=coords[:, d], minlength=n1) / cnt
+    agg2 = aggregate_nodes(cent, max(1, n1 // max(target_coarse2, 1)))
+    n2 = int(agg2.max()) + 1
+
+    # one pass: block diagonal of Ac1 and dense Ac2 = P2^T Ac1 P2
+    diag1 = np.zeros((n1, 3, 3))
+    nc3 = 3 * n2
+    Ac2 = np.zeros(nc3 * nc3)
+    ii = np.arange(3)
+    for slot_agg, blk, pair_valid in _coarse_entry_chunks(
+        mesh, lam, mu, agg1, free_mask
+    ):
+        e, ns = slot_agg.shape
+        # diagonal blocks: (s == t) pairs
+        diag_keys = slot_agg[:, :, None, None] * 9 + 3 * ii[:, None] + ii[None, :]
+        sel = np.arange(ns)
+        d_blk = blk[:, sel, sel]  # [e, ns, 3, 3]
+        diag1 += np.bincount(
+            diag_keys.reshape(-1), weights=d_blk.reshape(-1), minlength=n1 * 9
+        ).reshape(n1, 3, 3)
+        # level-2 dense accumulation
+        cd2 = 3 * agg2[slot_agg]  # [e, ns]
+        keys2 = (
+            (cd2[:, :, None, None, None] + ii[None, None, None, :, None]) * nc3
+            + cd2[:, None, :, None, None]
+            + ii[None, None, None, None, :]
+        )
+        Ac2 += np.bincount(
+            keys2.reshape(-1), weights=blk.reshape(-1), minlength=nc3 * nc3
+        )
+    Ac2 = Ac2.reshape(nc3, nc3)
+
+    # masked inversion of the level-1 diagonal blocks: rows/cols of inactive
+    # (fully fixed) components become identity before the 3x3 inversion
+    active = np.einsum("nii->ni", diag1) > 0.0
+    outer = (active[:, :, None] & active[:, None, :]).astype(diag1.dtype)
+    masked = diag1 * outer
+    masked[:, ii, ii] += (~active).astype(diag1.dtype)
+    dinv1 = np.linalg.inv(masked)
+
+    d2 = np.diagonal(Ac2)
+    fix2 = (d2 <= 0.0).astype(Ac2.dtype)
+    Ac2 = Ac2 + np.diag(fix2 + 1e-8 * max(d2.max(), 1.0))
+    chol2 = jsl.cho_factor(jnp.asarray(Ac2, dtype), lower=True)[0]
+
+    perm1 = np.argsort(agg1, kind="stable")
+    perm2 = np.argsort(agg2, kind="stable")
+    return MultilevelSpace(
+        agg1=jnp.asarray(agg1, INDEX_DTYPE),
+        perm1=jnp.asarray(perm1, INDEX_DTYPE),
+        segids1=jnp.asarray(agg1[perm1], INDEX_DTYPE),
+        dinv1=jnp.asarray(dinv1, dtype),
+        agg2=jnp.asarray(agg2, INDEX_DTYPE),
+        perm2=jnp.asarray(perm2, INDEX_DTYPE),
+        segids2=jnp.asarray(agg2[perm2], INDEX_DTYPE),
+        chol2=chol2,
+        n_agg1=n1,
+        n_agg2=n2,
+    )
 
 
 def two_level_preconditioner(coarse: CoarseSpace, jacobi_apply, free_mask):

@@ -294,6 +294,13 @@ class NewtonSolver:
                 self._coarse = build_coarse_space(
                     mesh, material, bc, agg_size=self.options.agg_size
                 )
+            elif self.options.preconditioner == "three_level":
+                from fea_large_tpu.solvers.multilevel import build_multilevel_space
+
+                self._coarse = build_multilevel_space(
+                    mesh, material, bc,
+                    agg_size1=self.options.agg_size or 16,
+                )
             else:
                 self._coarse = None
 

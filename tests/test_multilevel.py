@@ -85,3 +85,29 @@ def test_factored_coarse_matrix_matches_reference(element_type):
     A1 = _host_coarse_matrix(mesh, 1.3, 0.7, agg, n_agg, m)
     A2 = _host_coarse_matrix_reference(mesh, 1.3, 0.7, agg, n_agg, m)
     np.testing.assert_allclose(A1, A2, rtol=1e-11, atol=1e-12)
+
+
+def test_three_level_cuts_iterations_and_matches():
+    """Three-level additive hierarchy: same solution, at most as many total
+    PCG iterations as two-level on a mesh large enough to matter."""
+    mesh = box_mesh(12, 12, 12, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+
+    def run(precond, agg):
+        solver = NewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(
+                linear="pcg", precision="mixed", preconditioner=precond,
+                agg_size=agg, pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
+            ),
+        )
+        res = solver.solve()
+        assert res.converged, precond
+        return np.asarray(res.u), sum(sum(r.pcg_iters) for r in res.history)
+
+    u_2l, it_2l = run("two_level", 32)
+    u_3l, it_3l = run("three_level", 8)
+    scale = np.abs(u_2l).max()
+    np.testing.assert_allclose(u_3l, u_2l, rtol=0, atol=2e-7 * scale)
+    assert it_3l <= 1.05 * it_2l, (it_3l, it_2l)
