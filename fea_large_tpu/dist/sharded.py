@@ -289,13 +289,12 @@ class ShardedNewtonSolver:
             return y
 
         def local_scatter(d: ShardedData):
+            # direct (unsorted) segment-sum: deterministic on TPU/CPU and
+            # skips the permutation gather (ops/soa.py docstring)
             def scatter(values):
                 flat = values.reshape(-1, *values.shape[2:])
                 return jax.ops.segment_sum(
-                    flat[d.scatter_perm],
-                    d.scatter_segids,
-                    num_segments=n_local,
-                    indices_are_sorted=True,
+                    flat, d.local_conn.reshape(-1), num_segments=n_local
                 )
 
             return scatter

@@ -104,13 +104,15 @@ class SoAProblem:
     """Static SoA arrays for one mesh (pytree; the node count is static
     aux so reductions see concrete sizes under jit).
 
-    The nodal scatter-add is a sorted segment-sum (`perm_T`/`segids_T`):
-    profiled against a padded per-node gather on TPU, the sorted segment
-    reduction wins (~1.8 ms vs ~6.8 ms per component at 205k contributions
-    — TPU has no hardware gather, so padding waste costs linearly). Both
-    are deterministic fixed-order reductions (SURVEY.md §7.2). This scalar
-    scatter is the known per-iteration floor of the pure-XLA path; see
-    bench notes.
+    The nodal scatter-add is a DIRECT (unsorted) segment-sum over the
+    flattened connectivity: measured against the alternatives on TPU, the
+    pre-sorted segment-sum pays an extra permutation gather (~15 ms per
+    component per SpMV at 1M DOF) and a padded per-node gather costs 2-4x
+    more (no gather hardware; padding waste is linear). XLA scatter-add on
+    TPU/CPU executes in a fixed serial order (no atomics), so the direct
+    form is still deterministic run-to-run (SURVEY.md §7.2). The sorted
+    maps (`perm_T`/`segids_T`) are kept for consumers that need an
+    ascending-segment layout.
     """
 
     gradN: jnp.ndarray  # f32[q, npe, 3, E]
@@ -161,19 +163,20 @@ def soa_gather(p: SoAProblem, v_T: jnp.ndarray):
 
 
 def soa_scatter(p: SoAProblem, fe):
-    """fe [i][a] of [E] -> nodal sums [3, N] via sorted segment_sum
-    (fixed reduction order -> deterministic, SURVEY.md §7.2)."""
+    """fe [i][a] of [E] -> nodal sums [3, N] via direct segment_sum over the
+    flattened connectivity.
+
+    No pre-sort permutation: XLA scatter-add on TPU/CPU executes in a fixed
+    serial order (no atomics), so this is deterministic run-to-run
+    (SURVEY.md §7.2) while skipping the permutation gather — measured
+    ~15 ms per component per SpMV at 1M DOF, ~30% of the iteration."""
     npe = p.conn_T.shape[0]
+    flat_ids = p.conn_T.reshape(-1)
     rows = []
     for i in range(3):
         flat = jnp.concatenate([fe[i][a] for a in range(npe)])
         rows.append(
-            jax.ops.segment_sum(
-                flat[p.perm_T],
-                p.segids_T,
-                num_segments=p.n_nodes,
-                indices_are_sorted=True,
-            )
+            jax.ops.segment_sum(flat, flat_ids, num_segments=p.n_nodes)
         )
     return jnp.stack(rows)  # [3, N]
 
@@ -348,19 +351,15 @@ def soa_diag_blocks(p: SoAProblem, state: SoAState) -> jnp.ndarray:
                     if i == k:
                         term = term + geo
                     acc[i][k][a] = acc[i][k][a] + term
-    # scatter each (i,k) channel over nodes (sorted segment sum)
+    # scatter each (i,k) channel over nodes (see soa_scatter)
+    flat_ids = p.conn_T.reshape(-1)
     rows = []
     for i in range(3):
         cols = []
         for k in range(3):
             flat = jnp.concatenate([acc[i][k][a] for a in range(npe)])
             cols.append(
-                jax.ops.segment_sum(
-                    flat[p.perm_T],
-                    p.segids_T,
-                    num_segments=p.n_nodes,
-                    indices_are_sorted=True,
-                )
+                jax.ops.segment_sum(flat, flat_ids, num_segments=p.n_nodes)
             )
         rows.append(jnp.stack(cols))
     return jnp.stack(rows)  # [3, 3, N]
