@@ -1,0 +1,29 @@
+"""Driver-entry regression tests: `entry()` must stay jittable and
+`dryrun_multichip(n)` must run the full sharded step (these are executed
+by the external driver every round — they must never rot)."""
+
+import pathlib
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import __graft_entry__ as graft
+
+
+@pytest.mark.slow
+def test_entry_compiles_and_runs():
+    fn, args = graft.entry()
+    out = jax.block_until_ready(jax.jit(fn)(*args))
+    assert out.shape == args[0].shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dryrun_multichip_two_devices(capsys):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    graft.dryrun_multichip(2)
+    assert "pcg_ok=True" in capsys.readouterr().out
