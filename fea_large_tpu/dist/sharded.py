@@ -49,8 +49,6 @@ class ShardedData(NamedTuple):
     local_conn: jnp.ndarray  # i32[S, El, npe]
     gradN: jnp.ndarray  # f64[S, El, q, npe, 3]
     detJxW: jnp.ndarray  # f64[S, El, q] (0 on padded elements)
-    scatter_perm: jnp.ndarray  # i32[S, El*npe]
-    scatter_segids: jnp.ndarray  # i32[S, El*npe]
     send_idx: jnp.ndarray  # i32[S, kmax, Hl]
     send_mask: jnp.ndarray  # f64[S, kmax, Hl]
     recv_mask: jnp.ndarray  # f64[S, kmax, Hl]
@@ -111,20 +109,6 @@ def _host_geometry(mesh: Mesh, part: Partition):
     return g, v
 
 
-def _local_scatter_maps(part: Partition):
-    """Per-shard sorted segment-sum maps into the local node space
-    (deterministic assembly, SURVEY.md §7.2), stacked over shards."""
-    S, El, npe = part.local_conn.shape
-    perms = np.zeros((S, El * npe), np.int32)
-    segids = np.zeros((S, El * npe), np.int32)
-    for p in range(S):
-        flat = part.local_conn[p].reshape(-1)
-        perm = np.argsort(flat, kind="stable")
-        perms[p] = perm
-        segids[p] = flat[perm]
-    return perms, segids
-
-
 @dataclasses.dataclass
 class ShardedNewtonSolver:
     """Drop-in distributed analog of `solvers.newton.NewtonSolver` using the
@@ -151,7 +135,6 @@ class ShardedNewtonSolver:
         part = self.part
 
         gradN, detJxW = _host_geometry(mesh, part)
-        perms, segids = _local_scatter_maps(part)
         own3 = part.own_mask[:, :, None]
         free = part.from_global(np.asarray(bc.free_mask)) * own3
         vals = part.from_global(np.asarray(bc.values)) * own3
@@ -171,8 +154,6 @@ class ShardedNewtonSolver:
             local_conn=put(part.local_conn, INDEX_DTYPE),
             gradN=put(gradN, DTYPE),
             detJxW=put(detJxW, DTYPE),
-            scatter_perm=put(perms, INDEX_DTYPE),
-            scatter_segids=put(segids, INDEX_DTYPE),
             send_idx=put(part.send_idx, INDEX_DTYPE),
             send_mask=put(part.send_mask, DTYPE),
             recv_mask=put(part.recv_mask, DTYPE),
@@ -215,6 +196,11 @@ class ShardedNewtonSolver:
         self._material32 = jax.tree.map(
             lambda x: jnp.asarray(x, jnp.float32), self.material
         )
+        if self.options.preconditioner not in ("jacobi", "two_level"):
+            raise ValueError(
+                "sharded solver supports preconditioner 'jacobi' or "
+                f"'two_level', got {self.options.preconditioner!r}"
+            )
         if self.options.preconditioner == "two_level":
             from fea_large_tpu.solvers.multilevel import build_coarse_space
 
@@ -259,7 +245,6 @@ class ShardedNewtonSolver:
         part, opts = self.part, self.options
         S, No, Hl, kmax = part.n_shards, part.n_owned, part.n_halo, part.kmax
         material = self.material
-        elem = self.mesh.element
         n_local = No + Hl
         fwd = [[(i, (i + k) % S) for i in range(S)] for k in range(1, kmax + 1)]
         bwd = [[(i, (i - k) % S) for i in range(S)] for k in range(1, kmax + 1)]
