@@ -163,3 +163,34 @@ def test_parity_config1_scale_1k_elements():
         n_steps=1,
     )
     assert _rel_err(res.u, u_ref) < 1e-8
+
+
+def test_parity_tet10_5pt_quadrature():
+    """Ambiguity A2 sweep (SURVEY.md §5.7): the 5-pt degree-3 TET10 rule
+    must also match the oracle run with the same rule to 1e-8."""
+    import dataclasses
+
+    mesh = dataclasses.replace(
+        box_mesh(2, 2, 2, element_type="tet10"), n_quad=5
+    )
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.15).build()
+    res = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(linear="direct", n_steps=1)
+    ).solve()
+    assert res.converged
+
+    fixed_mask, fixed_vals = _bc_arrays(mesh, bc)
+    u_ref, _ = oracle.solve(
+        np.asarray(mesh.coords),
+        np.asarray(mesh.conn),
+        "tet10",
+        "neo_hookean",
+        1.0,
+        0.6,
+        fixed_mask,
+        fixed_vals,
+        n_steps=1,
+        n_quad=5,
+    )
+    assert _rel_err(res.u, u_ref) < 1e-8
