@@ -27,8 +27,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def pick_box_n(target_dof: int) -> int:
-    """Smallest n with a TET10 n^3 box mesh at >= target_dof DOFs.
+def pick_box_n(target_dof: int) -> tuple[int, "object"]:
+    """(n, mesh): smallest n with a TET10 n^3 box mesh at >= target_dof DOFs.
     Node count for an n^3 box of 5-tet cells with midside nodes:
     corners (n+1)^3 plus unique edge midpoints (counted exactly)."""
     from fea_large_tpu.mesh.generators import box_mesh
@@ -98,7 +98,7 @@ def main():
     u = jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype)
     u = u.at[:, 2].set(-0.05 * mesh.coords[:, 2])
     u = solver.bc.impose(u, scale)
-    _, iters, ok = jax.block_until_ready(solver._step(u, scale))
+    _, iters, ok, _rel = jax.block_until_ready(solver._step(u, scale))
     log(
         f"bench: warmup step done, pcg_iters={int(iters)} ok={bool(ok)} "
         f"({time.perf_counter()-t0:.1f}s)"

@@ -3,7 +3,6 @@
 Subcommands:
   run <task.json> [--resume] [--out DIR]   solve a task file end-to-end
   info <task.json>                         print the parsed problem summary
-  bench [...]                              forwards to the bench harness
 
 Mirrors the reference's `fea_solver <task>` single-binary interface
 (SURVEY.md §4.1) with per-iteration convergence prints (§7.5) and per-step
@@ -43,13 +42,21 @@ def _cmd_run(args) -> int:
 
     u0, start = None, 0.0
     ckpt = out_dir / f"{task.name}_checkpoint.npz"
+    conv_path = out_dir / f"{task.name}_convergence.json"
+    records = []
     if args.resume and ckpt.exists():
         data = load_checkpoint(ckpt)
         u0 = data["u"]
         start = float(data["load_factor"])
         print(f"[{task.name}] resuming from load factor {start:.4f}")
-
-    records = []
+        # keep the convergence artifact cumulative across resumes: seed from
+        # the sidecar's already-converged increments (SURVEY.md §7.4/§7.5)
+        if conv_path.exists():
+            prior = json.loads(conv_path.read_text())
+            records = [
+                r for r in prior.get("steps", [])
+                if r.get("load_factor", 0.0) <= start + 1e-12
+            ]
 
     def on_step(rec, u):
         line = (
@@ -84,7 +91,7 @@ def _cmd_run(args) -> int:
 
     # structured convergence sidecar (SURVEY.md §7.5) — this IS the
     # "convergence tracking" artifact of BASELINE.json:9
-    (out_dir / f"{task.name}_convergence.json").write_text(
+    conv_path.write_text(
         json.dumps(
             {"task": task.name, "converged": result.converged, "steps": records},
             indent=2,

@@ -9,13 +9,23 @@ exactly three XLA collectives, riding ICI:
     values to the shards whose elements touch them (PCG SpMV input);
   * halo REDUCE  — reverse `ppermute` hops returning partial element sums at
     halo nodes to their owners (assembly "halo reduce-scatter", B:5);
-  * `lax.psum`  — PCG dot products and residual norms.
+  * `lax.psum`  — PCG dot products, residual norms, and the coarse-space
+    restriction (the coarse residual is psum-replicated, solved redundantly
+    on every shard, prolonged locally).
 
-The element kernels, matrix-free tangent, block-Jacobi PCG are the SAME
-functions as the single-device path (`elements.kernels`,
-`assembly.matfree`, `solvers.linear.pcg`) applied to shard-local arrays —
-the distributed layer only adds the exchange, which is how the halo maps
-get to be testable in isolation (tests/test_dist.py).
+The element kernels, matrix-free tangent action, and PCG are the SAME SoA
+functions as the single-device mixed path (`ops.soa`, `solvers.linear`)
+applied to shard-local arrays — the distributed layer only adds the
+exchange, which is how the halo maps get to be testable in isolation
+(tests/test_dist.py). Both precisions run the same chunked program set:
+
+  precision="f64"    SoA f64 residual + f64 tangent/PCG (parity path)
+  precision="mixed"  SoA f64 residual + f32 tangent/PCG (performance path)
+
+Every device execution is bounded (`pcg_chunk` CG iterations per call) so
+long solves never hit backend execution limits; the Krylov recurrence
+continues exactly across chunks, with up to 2 restarts on rounding-level
+breakdown (see solvers/newton.py::_pcg_with_restart).
 """
 
 from __future__ import annotations
@@ -28,27 +38,37 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
+import jax.scipy.linalg as jsl
 from jax.sharding import Mesh as JaxMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from fea_large_tpu.assembly.matfree import TangentState, apply_tangent
 from fea_large_tpu.bc import DirichletBC
 from fea_large_tpu.config import DTYPE, INDEX_DTYPE
 from fea_large_tpu.dist.partition import Partition, partition_mesh
-from fea_large_tpu.elements.kernels import element_diag_blocks
 from fea_large_tpu.materials.base import Material
 from fea_large_tpu.mesh.core import Mesh
-from fea_large_tpu.solvers.linear import block_jacobi_preconditioner, pcg
+from fea_large_tpu.ops.soa import (
+    SoAProblem,
+    SoAState,
+    soa_apply_tangent,
+    soa_diag_blocks,
+    soa_freeze,
+    soa_internal_force,
+)
+from fea_large_tpu.solvers.linear import (
+    PCGState,
+    apply_block_jacobi,
+    jacobi_inverse_blocks,
+    pcg_chunk,
+    pcg_init,
+)
 from fea_large_tpu.solvers.newton import IncrementRecord, SolveResult, SolverOptions
 
 
 class ShardedData(NamedTuple):
     """Device-resident per-shard arrays (leading axis = shard axis S)."""
 
-    local_conn: jnp.ndarray  # i32[S, El, npe]
-    gradN: jnp.ndarray  # f64[S, El, q, npe, 3]
-    detJxW: jnp.ndarray  # f64[S, El, q] (0 on padded elements)
     send_idx: jnp.ndarray  # i32[S, kmax, Hl]
     send_mask: jnp.ndarray  # f64[S, kmax, Hl]
     recv_mask: jnp.ndarray  # f64[S, kmax, Hl]
@@ -59,9 +79,9 @@ class ShardedData(NamedTuple):
 
 
 class ShardedSoA(NamedTuple):
-    """Per-shard SoA (element-axis-last) arrays for the mixed-precision
-    path — the distributed analog of `ops.soa.SoAProblem` (f64 tables for
-    the residual, f32 for the tangent/PCG)."""
+    """Per-shard SoA (element-axis-last) tables — the distributed analog of
+    `ops.soa.SoAProblem` (f64 tables for the residual/parity path, f32 for
+    the mixed tangent/PCG)."""
 
     gradN64: jnp.ndarray  # f64[S, q, npe, 3, El]
     detJxW64: jnp.ndarray  # f64[S, q, El]
@@ -79,9 +99,27 @@ class ShardedCoarse(NamedTuple):
 
     agg_own: jnp.ndarray  # i32[S, No] aggregate of each owned node
     perm_own: jnp.ndarray  # i32[S, No] sort of owned nodes by aggregate
-    segids_own: jnp.ndarray  # i32[S, No]
+    segids_own: jnp.ndarray  # i32[S, No] ascending (padded slots clamped)
     valid: jnp.ndarray  # f32[S, No] 1 for real owned nodes
     chol: jnp.ndarray  # f32[3Nc, 3Nc] replicated Cholesky factor
+
+
+class ShardedMultilevel(NamedTuple):
+    """Three-level additive hierarchy across the device mesh: the LARGE
+    level-1 aggregate space (Nc1 ~ N/16) is psum-replicated per application
+    (its block-diagonal solve is redundant per shard), telescoped onto the
+    small dense-Cholesky level 2 — the sharded analog of
+    solvers.multilevel.MultilevelSpace."""
+
+    agg1_own: jnp.ndarray  # i32[S, No]
+    perm1_own: jnp.ndarray  # i32[S, No]
+    segids1_own: jnp.ndarray  # i32[S, No] ascending (padded clamped)
+    valid: jnp.ndarray  # f32[S, No]
+    dinv1: jnp.ndarray  # f32[Nc1, 3, 3] replicated
+    agg2: jnp.ndarray  # i32[Nc1] replicated
+    perm2: jnp.ndarray  # i32[Nc1] replicated
+    segids2: jnp.ndarray  # i32[Nc1] replicated
+    chol2: jnp.ndarray  # f32[3Nc2, 3Nc2] replicated
 
 
 def _host_geometry(mesh: Mesh, part: Partition):
@@ -109,12 +147,24 @@ def _host_geometry(mesh: Mesh, part: Partition):
     return g, v
 
 
+def _padded_sorted_maps(values, valid, n_segments):
+    """(perm, segids): stable sort of each row by segment id with padded
+    slots (valid==0) sorted last and their ids clamped into range — yields
+    ASCENDING segids safe for indices_are_sorted=True segment sums (padded
+    contributions must be zeroed by the caller via `valid`)."""
+    offset = (values + (1 - valid) * n_segments).astype(np.int64)
+    perm = np.argsort(offset, axis=1, kind="stable")
+    segids = np.take_along_axis(offset, perm, axis=1)
+    return perm, np.minimum(segids, n_segments - 1)
+
+
 @dataclasses.dataclass
 class ShardedNewtonSolver:
     """Drop-in distributed analog of `solvers.newton.NewtonSolver` using the
-    matrix-free Jacobi-PCG backend over a device mesh. The host control loop
-    (incremental loading, bisection, records) is identical; the jitted step
-    is `shard_map`-ped with halo collectives."""
+    matrix-free SoA PCG backend over a device mesh. The host control loop
+    (incremental loading, Eisenstat-Walker forcing, bisection, records) is
+    identical; the jitted programs are `shard_map`-ped with halo
+    collectives."""
 
     def __init__(
         self,
@@ -129,6 +179,16 @@ class ShardedNewtonSolver:
         self.mesh = mesh
         self.material = material
         self.options = options or SolverOptions()
+        if self.options.linear != "pcg":
+            raise ValueError("sharded solver supports linear='pcg' only")
+        if self.options.precision not in ("f64", "mixed"):
+            raise ValueError(f"unknown precision {self.options.precision!r}")
+        if self.options.preconditioner not in (
+            "jacobi", "two_level", "three_level"
+        ):
+            raise ValueError(
+                f"unknown preconditioner {self.options.preconditioner!r}"
+            )
         devices = list(jax.devices()) if devices is None else list(devices)
         S = len(devices)
         self.part = partition_mesh(mesh, S, method=partition_method)
@@ -151,9 +211,6 @@ class ShardedNewtonSolver:
             return jax.device_put(jnp.asarray(x, dtype), sh)
 
         self.data = ShardedData(
-            local_conn=put(part.local_conn, INDEX_DTYPE),
-            gradN=put(gradN, DTYPE),
-            detJxW=put(detJxW, DTYPE),
             send_idx=put(part.send_idx, INDEX_DTYPE),
             send_mask=put(part.send_mask, DTYPE),
             recv_mask=put(part.recv_mask, DTYPE),
@@ -163,14 +220,16 @@ class ShardedNewtonSolver:
             f_ext=put(fext, DTYPE),
         )
         self._sharding = sh
-        if self.options.precision == "mixed":
-            self._build_mixed_data(gradN, detJxW, put)
+        self._pcg_dtype = (
+            jnp.float32 if self.options.precision == "mixed" else DTYPE
+        )
+        self._build_soa_data(gradN, detJxW, put)
+        self._build_coarse(bc, put)
         self._build_programs()
-        if self.options.precision == "mixed":
-            self._build_mixed_programs()
 
-    def _build_mixed_data(self, gradN, detJxW, put):
-        """SoA per-shard tables + (optional) sharded coarse space."""
+    # ------------------------------------------------------------------
+    def _build_soa_data(self, gradN, detJxW, put):
+        """SoA per-shard tables (element-axis-last — ops/soa.py)."""
         part = self.part
         S = part.n_shards
         g_soa = np.transpose(gradN, (0, 2, 3, 4, 1))  # [S, q, npe, 3, El]
@@ -193,41 +252,48 @@ class ShardedNewtonSolver:
             perm_T=put(perms, INDEX_DTYPE),
             segids_T=put(segids, INDEX_DTYPE),
         )
-        self._material32 = jax.tree.map(
-            lambda x: jnp.asarray(x, jnp.float32), self.material
+        self._material_p = (
+            jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), self.material)
+            if self.options.precision == "mixed"
+            else self.material
         )
-        if self.options.preconditioner not in ("jacobi", "two_level"):
-            raise ValueError(
-                "sharded solver supports preconditioner 'jacobi' or "
-                f"'two_level', got {self.options.preconditioner!r}"
-            )
-        if self.options.preconditioner == "two_level":
-            from fea_large_tpu.solvers.multilevel import build_coarse_space
 
-            # global coarse factor (host assembly) + per-shard agg maps
-            bc_global = DirichletBC(
-                free_mask=jnp.asarray(
-                    part.to_global(
-                        np.asarray(self.data.free_mask), self.mesh.n_nodes
-                    )
-                ),
-                values=jnp.zeros((self.mesh.n_nodes, 3)),
-            )
-            coarse = build_coarse_space(
-                self.mesh, self.material, bc_global,
-                agg_size=self.options.agg_size,
-            )
-            agg_global = np.asarray(coarse.agg)
+    def _build_coarse(self, bc, put):
+        """Coarse correction maps: two_level (ShardedCoarse) or three_level
+        (ShardedMultilevel); None for plain block-Jacobi."""
+        part = self.part
+        S = part.n_shards
+        self.coarse = None
+        self._n_agg = 0
+        if self.options.preconditioner == "jacobi":
+            return
+        bc_global = DirichletBC(
+            free_mask=jnp.asarray(
+                part.to_global(np.asarray(self.data.free_mask), self.mesh.n_nodes)
+            ),
+            values=jnp.zeros((self.mesh.n_nodes, 3)),
+        )
+
+        def shard_agg_maps(agg_global, n_agg):
             agg_own = np.zeros((S, part.n_owned), np.int64)
             valid = np.zeros((S, part.n_owned))
             for p in range(S):
                 real = part.owned_global[p] >= 0
                 agg_own[p, real] = agg_global[part.owned_global[p][real]]
                 valid[p, real] = 1.0
-            perm_own = np.argsort(agg_own + (1 - valid) * coarse.n_agg, axis=1)
-            segids_own = np.take_along_axis(agg_own, perm_own, axis=1)
-            # padded slots sort last; clamp their segment id and zero later
-            segids_own = np.minimum(segids_own, coarse.n_agg - 1)
+            perm, segids = _padded_sorted_maps(agg_own, valid, n_agg)
+            return agg_own, valid, perm, segids
+
+        if self.options.preconditioner == "two_level":
+            from fea_large_tpu.solvers.multilevel import build_coarse_space
+
+            coarse = build_coarse_space(
+                self.mesh, self.material, bc_global,
+                agg_size=self.options.agg_size,
+            )
+            agg_own, valid, perm_own, segids_own = shard_agg_maps(
+                np.asarray(coarse.agg), coarse.n_agg
+            )
             self.coarse = ShardedCoarse(
                 agg_own=put(agg_own, INDEX_DTYPE),
                 perm_own=put(perm_own, INDEX_DTYPE),
@@ -236,24 +302,47 @@ class ShardedNewtonSolver:
                 chol=coarse.chol,  # replicated
             )
             self._n_agg = coarse.n_agg
-        else:
-            self.coarse = None
-            self._n_agg = 0
+        else:  # three_level
+            from fea_large_tpu.solvers.multilevel import build_multilevel_space
+
+            ms = build_multilevel_space(
+                self.mesh, self.material, bc_global,
+                agg_size1=self.options.agg_size or 16,
+            )
+            agg1_own, valid, perm1_own, segids1_own = shard_agg_maps(
+                np.asarray(ms.agg1), ms.n_agg1
+            )
+            self.coarse = ShardedMultilevel(
+                agg1_own=put(agg1_own, INDEX_DTYPE),
+                perm1_own=put(perm1_own, INDEX_DTYPE),
+                segids1_own=put(segids1_own, INDEX_DTYPE),
+                valid=put(valid, jnp.float32),
+                dinv1=ms.dinv1,
+                agg2=ms.agg2,
+                perm2=ms.perm2,
+                segids2=ms.segids2,
+                chol2=ms.chol2,  # all replicated
+            )
+            self._n_agg = ms.n_agg2
+            self._n_agg1 = ms.n_agg1
 
     # ------------------------------------------------------------------
     def _build_programs(self):
         part, opts = self.part, self.options
         S, No, Hl, kmax = part.n_shards, part.n_owned, part.n_halo, part.kmax
         material = self.material
+        material_p = self._material_p
+        pdt = self._pcg_dtype
         n_local = No + Hl
+        n_agg = self._n_agg
+        n_agg1 = getattr(self, "_n_agg1", 0)
+        coarse_kind = opts.preconditioner
         fwd = [[(i, (i + k) % S) for i in range(S)] for k in range(1, kmax + 1)]
         bwd = [[(i, (i - k) % S) for i in range(S)] for k in range(1, kmax + 1)]
 
-        from fea_large_tpu.elements.kernels import ElementGeometry
-
         def _bmask(m, x):
             """Broadcast a [Hl] mask over the trailing dims of x [Hl, ...]."""
-            return m.reshape(m.shape[0], *([1] * (x.ndim - 1)))
+            return m.astype(x.dtype).reshape(m.shape[0], *([1] * (x.ndim - 1)))
 
         def halo_gather(d: ShardedData, x_own):
             """[No, ...] owned -> [Hl, ...] halo values pulled from owners."""
@@ -273,181 +362,26 @@ class ShardedNewtonSolver:
                 y = y.at[d.send_idx[k]].add(buf * _bmask(d.send_mask[k], buf))
             return y
 
-        def local_scatter(d: ShardedData):
-            # direct (unsorted) segment-sum: deterministic on TPU/CPU and
-            # skips the permutation gather (ops/soa.py docstring)
-            def scatter(values):
-                flat = values.reshape(-1, *values.shape[2:])
-                return jax.ops.segment_sum(
-                    flat, d.local_conn.reshape(-1), num_segments=n_local
-                )
-
-            return scatter
-
-        def pdot(a, b):
-            return lax.psum(jnp.vdot(a, b), "shard")
-
-        def _squeeze(d: ShardedData) -> ShardedData:
-            return ShardedData(*(x[0] for x in d))
-
-        def step_body(d, u_own, scale):
-            d = _squeeze(d)
-            u_own, scale = u_own[0], scale[()]
-            geom = ElementGeometry(gradN=d.gradN, detJxW=d.detJxW)
-            scatter = local_scatter(d)
-
-            u_full = jnp.concatenate([u_own, halo_gather(d, u_own)], axis=0)
-            state, fe = TangentState.freeze(u_full, d.local_conn, geom, material)
-            f_loc = scatter(fe)
-            f_own = f_loc[:No] + halo_reduce(d, f_loc[No:])
-            r = (scale * d.f_ext - f_own) * d.free_mask
-
-            diag_e = element_diag_blocks(u_full[d.local_conn], geom, material)
-            diag_loc = scatter(diag_e)
-            diag = diag_loc[:No] + halo_reduce(d, diag_loc[No:])
-            precond = block_jacobi_preconditioner(diag, d.free_mask)
-
-            def matvec(v):
-                vm = v * d.free_mask
-                v_full = jnp.concatenate([vm, halo_gather(d, vm)], axis=0)
-                y_loc = apply_tangent(
-                    state, v_full, d.local_conn, geom, material, scatter
-                )
-                y = y_loc[:No] + halo_reduce(d, y_loc[No:])
-                return y * d.free_mask + (v - vm)
-
-            res = pcg(
-                matvec,
-                r,
-                preconditioner=precond,
-                tol=opts.pcg_tol,
-                maxiter=opts.pcg_maxiter,
-                dot=pdot,
-            )
-            u_new = u_own + res.x
-            return u_new[None], res.iterations, res.converged
-
-        def residual_body(d, u_own, scale):
-            d = _squeeze(d)
-            u_own, scale = u_own[0], scale[()]
-            geom = ElementGeometry(gradN=d.gradN, detJxW=d.detJxW)
-            scatter = local_scatter(d)
-            u_full = jnp.concatenate([u_own, halo_gather(d, u_own)], axis=0)
-            _, fe = TangentState.freeze(u_full, d.local_conn, geom, material)
-            f_loc = scatter(fe)
-            f_own = f_loc[:No] + halo_reduce(d, f_loc[No:])
-            r = (scale * d.f_ext - f_own) * d.free_mask
-            return jnp.sqrt(pdot(r, r))
-
-        def impose_body(d, u_own, scale):
-            d = _squeeze(d)
-            u_own, scale = u_own[0], scale[()]
-            u = d.free_mask * u_own + (1.0 - d.free_mask) * (scale * d.bc_values)
-            return u[None]
-
-        data_specs = ShardedData(*([P("shard")] * len(ShardedData._fields)))
-        mesh = self.jmesh
-
-        self._step = jax.jit(
-            shard_map(
-                step_body,
-                mesh=mesh,
-                in_specs=(data_specs, P("shard"), P()),
-                out_specs=(P("shard"), P(), P()),
-                check_vma=False,
-            )
-        )
-        self._residual = jax.jit(
-            shard_map(
-                residual_body,
-                mesh=mesh,
-                in_specs=(data_specs, P("shard"), P()),
-                out_specs=P(),
-                check_vma=False,
-            )
-        )
-        self._impose = jax.jit(
-            shard_map(
-                impose_body,
-                mesh=mesh,
-                in_specs=(data_specs, P("shard"), P()),
-                out_specs=P("shard"),
-                check_vma=False,
-            )
-        )
-
-    # ------------------------------------------------------------------
-    def _build_mixed_programs(self):
-        """Mixed-precision sharded programs: f64 SoA residual, f32 SoA
-        tangent + chunked PCG with psum dots and ppermute halos — the
-        distributed analog of `solvers.newton`'s mixed path."""
-        import jax.scipy.linalg as jsl
-
-        from fea_large_tpu.ops.soa import (
-            SoAProblem,
-            SoAState,
-            soa_apply_tangent,
-            soa_diag_blocks,
-            soa_freeze,
-            soa_internal_force,
-        )
-        from fea_large_tpu.solvers.linear import (
-            PCGState,
-            apply_block_jacobi,
-            jacobi_inverse_blocks,
-            pcg_chunk,
-            pcg_init,
-        )
-
-        part, opts = self.part, self.options
-        S, No, Hl, kmax = part.n_shards, part.n_owned, part.n_halo, part.kmax
-        material = self.material
-        material32 = self._material32
-        n_local = No + Hl
-        n_agg = self._n_agg
-        fwd = [[(i, (i + k) % S) for i in range(S)] for k in range(1, kmax + 1)]
-        bwd = [[(i, (i - k) % S) for i in range(S)] for k in range(1, kmax + 1)]
-
-        def _bmask(m, x):
-            return m.astype(x.dtype).reshape(m.shape[0], *([1] * (x.ndim - 1)))
-
-        def halo_gather(d, x_own):
-            h = jnp.zeros((Hl, *x_own.shape[1:]), x_own.dtype)
-            for k in range(kmax):
-                buf = x_own[d.send_idx[k]] * _bmask(d.send_mask[k], x_own)
-                buf = lax.ppermute(buf, "shard", fwd[k])
-                h = h + buf * _bmask(d.recv_mask[k], h)
-            return h
-
-        def halo_reduce(d, partials):
-            y = jnp.zeros((No, *partials.shape[1:]), partials.dtype)
-            for k in range(kmax):
-                buf = partials * _bmask(d.recv_mask[k], partials)
-                buf = lax.ppermute(buf, "shard", bwd[k])
-                y = y.at[d.send_idx[k]].add(buf * _bmask(d.send_mask[k], buf))
-            return y
-
         def pdot(a, b):
             return lax.psum(jnp.vdot(a, b), "shard")
 
         def _sq(t):
             return type(t)(*(x[0] for x in t))
 
-        def p64_of(soa):
-            return SoAProblem(
-                gradN=soa.gradN64, detJxW=soa.detJxW64, conn_T=soa.conn_T,
-                perm_T=soa.perm_T, segids_T=soa.segids_T, n_nodes=n_local,
+        def p_of(soa: ShardedSoA, dtype) -> SoAProblem:
+            g, v = (
+                (soa.gradN64, soa.detJxW64)
+                if dtype == jnp.float64
+                else (soa.gradN32, soa.detJxW32)
             )
-
-        def p32_of(soa):
             return SoAProblem(
-                gradN=soa.gradN32, detJxW=soa.detJxW32, conn_T=soa.conn_T,
+                gradN=g, detJxW=v, conn_T=soa.conn_T,
                 perm_T=soa.perm_T, segids_T=soa.segids_T, n_nodes=n_local,
             )
 
         def _residual64(d, soa, u_own, scale):
             u_full = jnp.concatenate([u_own, halo_gather(d, u_own)], axis=0)
-            p64 = p64_of(soa)
+            p64 = p_of(soa, jnp.float64)
             state = soa_freeze(p64, material, u_full.T)
             f_loc = soa_internal_force(p64, state).T
             f_own = f_loc[:No] + halo_reduce(d, f_loc[No:])
@@ -458,75 +392,112 @@ class ShardedNewtonSolver:
             r = _residual64(d, soa, u_own[0], scale[()])
             return jnp.sqrt(pdot(r, r))
 
-        def _make_ops(d, soa, coarse, state32, inv_blocks, free32):
-            p32 = p32_of(soa)
-
-            def matvec(v):
-                vm = v * free32
-                v_full = jnp.concatenate([vm, halo_gather(d, vm)], axis=0)
-                y_loc = soa_apply_tangent(p32, state32, v_full.T).T
-                y = y_loc[:No] + halo_reduce(d, y_loc[No:])
-                return y * free32 + (v - vm)
-
-            def precond(r):
-                z = apply_block_jacobi(inv_blocks, free32, r)
-                if coarse is not None:
-                    rc = jax.ops.segment_sum(
-                        r[coarse.perm_own], coarse.segids_own,
-                        num_segments=n_agg, indices_are_sorted=True,
-                    )
-                    rc = lax.psum(rc, "shard")
-                    xc = jsl.cho_solve(
-                        (coarse.chol, True), rc.reshape(-1).astype(coarse.chol.dtype)
-                    ).reshape(n_agg, 3).astype(r.dtype)
-                    z = z + free32 * xc[coarse.agg_own]
-                return z
-
-            return matvec, precond
+        def impose_body(d, u_own, scale):
+            d = _sq(d)
+            u_own, scale = u_own[0], scale[()]
+            u = d.free_mask * u_own + (1.0 - d.free_mask) * (scale * d.bc_values)
+            return u[None]
 
         def _sq_coarse(coarse):
             if coarse is None:
                 return None
-            return ShardedCoarse(
-                agg_own=coarse.agg_own[0], perm_own=coarse.perm_own[0],
-                segids_own=coarse.segids_own[0], valid=coarse.valid[0],
-                chol=coarse.chol,  # replicated
+            if coarse_kind == "two_level":
+                return ShardedCoarse(
+                    agg_own=coarse.agg_own[0], perm_own=coarse.perm_own[0],
+                    segids_own=coarse.segids_own[0], valid=coarse.valid[0],
+                    chol=coarse.chol,  # replicated
+                )
+            return ShardedMultilevel(
+                agg1_own=coarse.agg1_own[0], perm1_own=coarse.perm1_own[0],
+                segids1_own=coarse.segids1_own[0], valid=coarse.valid[0],
+                dinv1=coarse.dinv1, agg2=coarse.agg2, perm2=coarse.perm2,
+                segids2=coarse.segids2, chol2=coarse.chol2,
             )
 
-        def prepare_body(d, soa, coarse, u_own, scale, tol):
+        def coarse_apply(coarse, r):
+            """Additive coarse correction with psum-replicated coarse
+            residual; padded owned slots are zeroed by `valid` (their
+            clamped segment ids alias the last aggregate)."""
+            if coarse_kind == "two_level":
+                rp = r[coarse.perm_own] * coarse.valid[coarse.perm_own][:, None]
+                rc = jax.ops.segment_sum(
+                    rp, coarse.segids_own, num_segments=n_agg,
+                    indices_are_sorted=True,
+                )
+                rc = lax.psum(rc, "shard")
+                xc = jsl.cho_solve(
+                    (coarse.chol, True), rc.reshape(-1).astype(coarse.chol.dtype)
+                ).reshape(n_agg, 3).astype(r.dtype)
+                return xc[coarse.agg_own]
+            rp = r[coarse.perm1_own] * coarse.valid[coarse.perm1_own][:, None]
+            rc1 = jax.ops.segment_sum(
+                rp, coarse.segids1_own, num_segments=n_agg1,
+                indices_are_sorted=True,
+            )
+            rc1 = lax.psum(rc1, "shard")
+            z1 = jnp.einsum("nij,nj->ni", coarse.dinv1.astype(r.dtype), rc1)
+            rc2 = jax.ops.segment_sum(
+                rc1[coarse.perm2], coarse.segids2, num_segments=n_agg,
+                indices_are_sorted=True,
+            )
+            x2 = jsl.cho_solve(
+                (coarse.chol2, True), rc2.reshape(-1).astype(coarse.chol2.dtype)
+            ).reshape(n_agg, 3).astype(r.dtype)
+            zc1 = z1 + x2[coarse.agg2]
+            return zc1[coarse.agg1_own]
+
+        def _make_ops(d, soa, coarse, state, inv_blocks, freeN):
+            p = p_of(soa, pdt)
+
+            def matvec(v):
+                vm = v * freeN
+                v_full = jnp.concatenate([vm, halo_gather(d, vm)], axis=0)
+                y_loc = soa_apply_tangent(p, state, v_full.T).T
+                y = y_loc[:No] + halo_reduce(d, y_loc[No:])
+                return y * freeN + (v - vm)
+
+            def precond(r):
+                z = apply_block_jacobi(inv_blocks, freeN, r)
+                if coarse is not None:
+                    z = z + freeN * coarse_apply(coarse, r)
+                return z
+
+            return matvec, precond
+
+        def prepare_body(d, soa, coarse, u_own, scale, tol, x0):
             d, soa = _sq(d), _sq(soa)
             coarse = _sq_coarse(coarse)
             u_own, scale = u_own[0], scale[()]
             r64 = _residual64(d, soa, u_own, scale)
-            free32 = d.free_mask.astype(jnp.float32)
+            freeN = d.free_mask.astype(pdt)
             u_full = jnp.concatenate([u_own, halo_gather(d, u_own)], axis=0)
-            p32 = p32_of(soa)
-            state32 = soa_freeze(p32, material32, u_full.astype(jnp.float32).T)
-            diag_loc = jnp.transpose(soa_diag_blocks(p32, state32), (2, 0, 1))
+            p = p_of(soa, pdt)
+            state = soa_freeze(p, material_p, u_full.astype(pdt).T)
+            diag_loc = jnp.transpose(soa_diag_blocks(p, state), (2, 0, 1))
             diag = diag_loc[:No] + halo_reduce(d, diag_loc[No:])
-            inv_blocks = jacobi_inverse_blocks(diag, free32)
-            matvec, precond = _make_ops(d, soa, coarse, state32, inv_blocks, free32)
+            inv_blocks = jacobi_inverse_blocks(diag, freeN)
+            matvec, precond = _make_ops(d, soa, coarse, state, inv_blocks, freeN)
             st = pcg_init(
-                matvec, r64.astype(jnp.float32), preconditioner=precond,
-                tol=tol.astype(jnp.float32), dot=pdot,
+                matvec, r64.astype(pdt), preconditioner=precond,
+                tol=tol.astype(pdt), x0=x0[0].astype(pdt), dot=pdot,
             )
             st_out = PCGState(
                 st.x[None], st.r[None], st.z[None], st.p[None],
                 st.rz, st.rr, st.k, st.ok, st.stop,
             )
-            return st_out, SoAState(*(x[None] for x in state32)), inv_blocks[None]
+            return st_out, SoAState(*(x[None] for x in state)), inv_blocks[None]
 
-        def chunk_body(d, soa, coarse, st, state32, inv_blocks):
+        def chunk_body(d, soa, coarse, st, state, inv_blocks):
             d, soa = _sq(d), _sq(soa)
             coarse = _sq_coarse(coarse)
-            state32 = _sq(state32)
+            state = _sq(state)
             inv_blocks = inv_blocks[0]
-            free32 = d.free_mask.astype(jnp.float32)
+            freeN = d.free_mask.astype(pdt)
             st = PCGState(
                 st.x[0], st.r[0], st.z[0], st.p[0],
                 st.rz, st.rr, st.k, st.ok, st.stop,
             )
-            matvec, precond = _make_ops(d, soa, coarse, state32, inv_blocks, free32)
+            matvec, precond = _make_ops(d, soa, coarse, state, inv_blocks, freeN)
             st = pcg_chunk(
                 matvec, st, preconditioner=precond, dot=pdot,
                 maxiter=opts.pcg_chunk,
@@ -539,65 +510,101 @@ class ShardedNewtonSolver:
         mesh = self.jmesh
         data_specs = ShardedData(*([P("shard")] * len(ShardedData._fields)))
         soa_specs = ShardedSoA(*([P("shard")] * len(ShardedSoA._fields)))
-        if self.coarse is not None:
+        if self.coarse is None:
+            coarse_specs = None
+        elif coarse_kind == "two_level":
             coarse_specs = ShardedCoarse(
                 P("shard"), P("shard"), P("shard"), P("shard"), P()
             )
         else:
-            coarse_specs = None
+            coarse_specs = ShardedMultilevel(
+                P("shard"), P("shard"), P("shard"), P("shard"),
+                P(), P(), P(), P(), P(),
+            )
         st_specs = PCGState(
             P("shard"), P("shard"), P("shard"), P("shard"),
             P(), P(), P(), P(), P(),
         )
-        state32_specs = SoAState(*([P("shard")] * len(SoAState._fields)))
+        state_specs = SoAState(*([P("shard")] * len(SoAState._fields)))
 
-        self._mixed_residual = jax.jit(
+        self._impose = jax.jit(
+            shard_map(
+                impose_body, mesh=mesh,
+                in_specs=(data_specs, P("shard"), P()),
+                out_specs=P("shard"), check_vma=False,
+            )
+        )
+        self._residual_norm = jax.jit(
             shard_map(
                 residual_body, mesh=mesh,
                 in_specs=(data_specs, soa_specs, P("shard"), P()),
                 out_specs=P(), check_vma=False,
             )
         )
-        self._mixed_prepare = jax.jit(
+        self._prepare = jax.jit(
             shard_map(
                 prepare_body, mesh=mesh,
-                in_specs=(data_specs, soa_specs, coarse_specs, P("shard"), P(), P()),
-                out_specs=(st_specs, state32_specs, P("shard")),
+                in_specs=(
+                    data_specs, soa_specs, coarse_specs, P("shard"), P(), P(),
+                    P("shard"),
+                ),
+                out_specs=(st_specs, state_specs, P("shard")),
                 check_vma=False,
             )
         )
-        self._mixed_chunk = jax.jit(
+        self._chunk = jax.jit(
             shard_map(
                 chunk_body, mesh=mesh,
                 in_specs=(
                     data_specs, soa_specs, coarse_specs, st_specs,
-                    state32_specs, P("shard"),
+                    state_specs, P("shard"),
                 ),
                 out_specs=st_specs, check_vma=False,
             )
         )
 
-    def _step_mixed(self, u, scale_arr):
-        """Host-orchestrated chunked PCG across the device mesh."""
+    # ------------------------------------------------------------------
+    def _step_pcg(self, u, scale_arr, lin_tol=None):
+        """Host-orchestrated chunked PCG across the device mesh, with up to
+        2 restarts on rounding-level breakdown (solvers/newton.py)."""
         opts = self.options
-        tol = jnp.asarray(opts.pcg_tol, jnp.float32)
-        st, state32, inv_blocks = self._mixed_prepare(
-            self.data, self.soa, self.coarse, u, scale_arr, tol
+        tol = jnp.asarray(
+            opts.pcg_tol if lin_tol is None else lin_tol, self._pcg_dtype
         )
+        x0 = jnp.zeros_like(u)
+        st, state, inv_blocks = self._prepare(
+            self.data, self.soa, self.coarse, u, scale_arr, tol, x0
+        )
+        bnorm = float(st.stop) / float(tol)  # pcg_init: stop = tol * ||b||
+        done_iters = 0
+        restarts = 0
         while True:
-            k = int(st.k)
-            done = (
-                (not bool(st.ok))
-                or float(jnp.sqrt(st.rr)) <= float(st.stop)
-                or k >= opts.pcg_maxiter
-            )
-            if done:
+            k = done_iters + int(st.k)
+            rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
+            if (bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)) or (
+                k >= opts.pcg_maxiter
+            ):
                 break
-            st = self._mixed_chunk(
-                self.data, self.soa, self.coarse, st, state32, inv_blocks
+            if not bool(st.ok):
+                # rounding-level breakdown -> restart; early breakdown at
+                # rel ~ O(1) -> genuinely indefinite, leave to bisection
+                # (see solvers/newton.py::_step_mixed)
+                if restarts >= 2 or rel > 1e-3:
+                    break
+                restarts += 1
+                done_iters = k
+                st, state, inv_blocks = self._prepare(
+                    self.data, self.soa, self.coarse, u, scale_arr, tol,
+                    st.x.astype(u.dtype),
+                )
+                continue
+            st = self._chunk(
+                self.data, self.soa, self.coarse, st, state, inv_blocks
             )
         converged = bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)
-        return u + st.x.astype(u.dtype), st.k, jnp.bool_(converged)
+        total = jnp.int32(done_iters) + st.k
+        rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
+        return u + st.x.astype(u.dtype), total, jnp.bool_(converged), rel
 
     # ------------------------------------------------------------------
     def zero_u(self) -> jnp.ndarray:
@@ -611,29 +618,43 @@ class ShardedNewtonSolver:
         opts = self.options
         t0 = time.perf_counter()
         scale_arr = jnp.asarray(scale, DTYPE)
-        mixed = self.options.precision == "mixed"
         u = self._impose(self.data, u, scale_arr)
         norms, pcg_iters = [], []
         norm0 = None
+        eta = 0.5  # Eisenstat-Walker initial forcing
         for it in range(opts.max_newton):
-            if mixed:
-                norm = float(self._mixed_residual(self.data, self.soa, u, scale_arr))
-            else:
-                norm = float(self._residual(self.data, u, scale_arr))
+            norm = float(self._residual_norm(self.data, self.soa, u, scale_arr))
+            if norm != norm:  # NaN: poisoned state; fail -> bisection
+                break
             norms.append(norm)
             if norm0 is None:
                 norm0 = max(norm, 1e-300)
-            if norm <= max(opts.newton_rtol * norm0, opts.newton_atol):
+            stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
+            if norm <= stop_n:
                 rec = IncrementRecord(
                     float(scale), it, norms, pcg_iters, time.perf_counter() - t0
                 )
                 return u, True, rec
-            if mixed:
-                u, lin_iters, lin_ok = self._step_mixed(u, scale_arr)
+            # forcing + precision guard — see solvers/newton.py::_newton
+            lin_tol = None
+            if opts.forcing == "ew":
+                if it > 0:
+                    cand = 0.9 * (norms[-1] / norms[-2]) ** 2
+                    safe = 0.9 * eta**2
+                    eta = max(cand, safe) if safe > 0.1 else cand
+                eta = min(max(eta, opts.pcg_tol), 0.5)
+                lin_tol = eta
+            if self.options.precision == "mixed":
+                floor = 1.2e-6
             else:
-                u, lin_iters, lin_ok = self._step(self.data, u, scale_arr)
+                floor = min(2.2e-14 * norm0 / norm, 0.1)
+            lin_tol = max(lin_tol if lin_tol is not None else opts.pcg_tol, floor)
+            u, lin_iters, lin_ok, lin_rel = self._step_pcg(u, scale_arr, lin_tol)
             pcg_iters.append(int(lin_iters))
-            if not bool(lin_ok):
+            # see solvers/newton.py: accept a stagnated PCG step that made
+            # substantial progress (inexact Newton); an early breakdown at
+            # rel ~ O(1) aborts the increment -> bisection
+            if not (bool(lin_ok) or float(lin_rel) <= 1e-3):
                 break
         rec = IncrementRecord(
             float(scale), len(norms), norms, pcg_iters, time.perf_counter() - t0

@@ -119,7 +119,13 @@ def pcg_chunk(matvec, state: PCGState, preconditioner=None, dot=None,
     k0 = state.k
 
     def cond(s):
-        return s.ok & (s.k < k0 + maxiter) & (jnp.sqrt(s.rr) > s.stop)
+        # isfinite: stop immediately if rounding blew the recurrence up
+        # (e.g. a stop target below achievable precision) instead of
+        # churning to maxiter on NaNs
+        return (
+            s.ok & (s.k < k0 + maxiter) & (jnp.sqrt(s.rr) > s.stop)
+            & jnp.isfinite(s.rr)
+        )
 
     def body(s):
         q = matvec(s.p)

@@ -50,6 +50,7 @@ from fea_large_tpu.ops.soa import (
     soa_internal_force,
 )
 from fea_large_tpu.solvers.linear import (
+    PCGResult,
     apply_block_jacobi,
     block_jacobi_preconditioner,
     dense_cholesky_solve,
@@ -134,7 +135,7 @@ def _step_direct_fn(u, scale, conn, geom, material, bc, f_ext):
     r = bc.project(scale * f_ext - f_int)
     A, b = mask_dense_system(K, r, bc.free_mask)
     du = dense_cholesky_solve(A, b).reshape(u.shape)
-    return u + du, jnp.int32(1), jnp.bool_(True)
+    return u + du, jnp.int32(1), jnp.bool_(True), jnp.zeros((), u.dtype)
 
 
 def _step_matfree_fn(
@@ -151,8 +152,31 @@ def _step_matfree_fn(
             v - vm
         )
 
+    res = _pcg_with_restart(matvec, r, precond, pcg_tol, pcg_maxiter)
+    rel = res.residual_norm / jnp.maximum(jnp.linalg.norm(r), 1e-300)
+    return u + res.x, res.iterations, res.converged, rel
+
+
+def _pcg_with_restart(matvec, r, precond, pcg_tol, pcg_maxiter):
+    """PCG + one unconditional restart from the final iterate.
+
+    A pq<=0 breakdown can be pure rounding near stagnation (the Krylov
+    recurrence drifts from the true residual); restarting from x rebuilds
+    the recurrence from the TRUE residual and recovers, while a genuinely
+    indefinite operator breaks down again immediately. If the first solve
+    already converged, the restart's while_loop exits after 0 iterations
+    (cost: one matvec + one preconditioner apply)."""
     res = pcg(matvec, r, preconditioner=precond, tol=pcg_tol, maxiter=pcg_maxiter)
-    return u + res.x, res.iterations, res.converged
+    res2 = pcg(
+        matvec, r, preconditioner=precond, x0=res.x, tol=pcg_tol,
+        maxiter=pcg_maxiter,
+    )
+    return PCGResult(
+        x=res2.x,
+        iterations=res.iterations + res2.iterations,
+        residual_norm=res2.residual_norm,
+        converged=res2.converged,
+    )
 
 
 def _step_bcsr_fn(
@@ -166,8 +190,9 @@ def _step_bcsr_fn(
         vm = bc.project(v)
         return bc.project(K.matvec(vm)) + (v - vm)
 
-    res = pcg(matvec, r, preconditioner=precond, tol=pcg_tol, maxiter=pcg_maxiter)
-    return u + res.x, res.iterations, res.converged
+    res = _pcg_with_restart(matvec, r, precond, pcg_tol, pcg_maxiter)
+    rel = res.residual_norm / jnp.maximum(jnp.linalg.norm(r), 1e-300)
+    return u + res.x, res.iterations, res.converged, rel
 
 
 def _residual_soa_fn(u, scale, soa64, material, bc, f_ext):
@@ -203,10 +228,13 @@ def _mixed_precond(inv_blocks, free32, coarse):
 
 
 def _mixed_prepare_fn(
-    u, scale, soa64, soa, material, material32, bc, f_ext, pcg_tol, coarse
+    u, scale, soa64, soa, material, material32, bc, f_ext, pcg_tol, coarse,
+    x0=None,
 ):
     """Phase 1 of the mixed-precision Newton step: f64 residual (SoA element
-    pass), f32 frozen tangent state, block-Jacobi blocks, PCG init."""
+    pass), f32 frozen tangent state, block-Jacobi blocks, PCG init. `x0`
+    restarts the Krylov recurrence from a previous iterate (breakdown
+    recovery — see `_pcg_with_restart`)."""
     r64, _ = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
     u32_T = u.astype(jnp.float32).T  # [3, N]
     free32 = bc.free_mask.astype(jnp.float32)
@@ -218,6 +246,7 @@ def _mixed_prepare_fn(
         r64.astype(jnp.float32),
         preconditioner=_mixed_precond(inv_blocks, free32, coarse),
         tol=pcg_tol,
+        x0=x0,
     )
     return pcg_state, state, inv_blocks
 
@@ -358,7 +387,9 @@ class NewtonSolver:
 
     def _step_mixed(self, u, scale, lin_tol=None):
         """Chunked mixed-precision step: one prepare call, then bounded CG
-        chunks under host control (keeps every device execution short)."""
+        chunks under host control (keeps every device execution short).
+        A rounding-level breakdown triggers up to 2 restarts from the
+        current iterate (see `_pcg_with_restart`)."""
         free32 = self.bc.free_mask.astype(jnp.float32)
         tol = self._pcg_tol32 if lin_tol is None else jnp.asarray(
             lin_tol, jnp.float32
@@ -366,25 +397,43 @@ class NewtonSolver:
         st, state, inv_blocks = _mixed_prepare_jit(
             u, scale, self._soa64, self._soa, self.material,
             self._material32, self.bc, self.f_ext, tol,
-            self._coarse,
+            self._coarse, None,
         )
         chunk = self.options.pcg_chunk
         maxiter = self.options.pcg_maxiter
+        bnorm = float(st.stop) / float(tol)  # pcg_init: stop = tol * ||b||
+        done_iters = 0
+        restarts = 0
         while True:
-            k = int(st.k)
-            done = (
-                (not bool(st.ok))
-                or float(jnp.sqrt(st.rr)) <= float(st.stop)
-                or k >= maxiter
-            )
-            if done:
+            k = done_iters + int(st.k)
+            rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
+            if (bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)) or (
+                k >= maxiter
+            ):
                 break
+            if not bool(st.ok):
+                # breakdown: restart only if it looks like rounding-level
+                # stagnation (substantial reduction achieved) — a genuinely
+                # indefinite tangent breaks down early at rel ~ O(1) and is
+                # the driver's bisection case, not a restart case
+                if restarts >= 2 or rel > 1e-3:
+                    break
+                restarts += 1
+                done_iters = k
+                st, state, inv_blocks = _mixed_prepare_jit(
+                    u, scale, self._soa64, self._soa, self.material,
+                    self._material32, self.bc, self.f_ext, tol,
+                    self._coarse, st.x,
+                )
+                continue
             n = min(chunk, maxiter - k)
             st = _mixed_chunk_jit(
                 st, self._soa, state, inv_blocks, free32, self._coarse, n
             )
         converged = bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)
-        return u + st.x.astype(u.dtype), st.k, jnp.bool_(converged)
+        total = jnp.int32(done_iters) + st.k
+        rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
+        return u + st.x.astype(u.dtype), total, jnp.bool_(converged), rel
 
     def step_fn(self, u, scale):
         """One jittable Newton step (also used by the driver's compile
@@ -402,7 +451,7 @@ class NewtonSolver:
                 st, self._soa, state, inv_blocks, free32, self._coarse,
                 self.options.pcg_chunk,
             )
-            return u + st.x.astype(u.dtype), st.k, st.ok
+            return u + st.x.astype(u.dtype), st.k, st.ok, jnp.sqrt(st.rr)
         return self._step(u, scale)
 
     # -- host control loop ---------------------------------------------------
@@ -417,27 +466,53 @@ class NewtonSolver:
         for it in range(opts.max_newton):
             _, norm = self._residual(u, scale)
             norm = float(norm)
+            if norm != norm:  # NaN: poisoned state; fail -> bisection retries
+                break
             norms.append(norm)
             if norm0 is None:
                 norm0 = max(norm, 1e-300)
-            if norm <= max(opts.newton_rtol * norm0, opts.newton_atol):
+            stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
+            if norm <= stop_n:
                 rec = IncrementRecord(
                     float(scale), it, norms, pcg_iters, time.perf_counter() - t0
                 )
                 return u, True, rec
             lin_tol = None
-            if opts.forcing == "ew" and opts.linear != "direct":
-                # EW choice 2 (gamma=0.9, alpha=2) with the standard
-                # safeguard against over-tightening
-                if it > 0:
-                    cand = 0.9 * (norms[-1] / norms[-2]) ** 2
-                    safe = 0.9 * eta**2
-                    eta = max(cand, safe) if safe > 0.1 else cand
-                eta = min(max(eta, opts.pcg_tol), 0.5)
-                lin_tol = eta
-            u, lin_iters, lin_ok = self._step(u, scale, lin_tol)
+            if opts.linear != "direct":
+                if opts.forcing == "ew":
+                    # EW choice 2 (gamma=0.9, alpha=2) with the standard
+                    # safeguard against over-tightening
+                    if it > 0:
+                        cand = 0.9 * (norms[-1] / norms[-2]) ** 2
+                        safe = 0.9 * eta**2
+                        eta = max(cand, safe) if safe > 0.1 else cand
+                    eta = min(max(eta, opts.pcg_tol), 0.5)
+                    lin_tol = eta
+                # precision guard: the PCG target is tol*||R||; late in
+                # Newton ||R|| is tiny and a fixed relative tol can demand an
+                # absolute residual below floating-point rounding — CG then
+                # stagnates (or breaks down) chasing it. The achievable
+                # ABSOLUTE residual is ~eps * problem scale: for the f64
+                # path that scale is ||R0|| (fixed tangent/residual scale),
+                # so floor the relative tol at 100 eps64 ||R0||/||R||; for
+                # the mixed path the f32 system is re-initialized from the
+                # f64 residual each step (its own scale), so the floor is a
+                # constant ~10 eps32. Early iterations are unaffected.
+                if self.options.precision == "mixed":
+                    floor = 1.2e-6
+                else:
+                    floor = min(2.2e-14 * norm0 / norm, 0.1)
+                lin_tol = max(lin_tol if lin_tol is not None else opts.pcg_tol, floor)
+            u, lin_iters, lin_ok, lin_rel = self._step(u, scale, lin_tol)
             pcg_iters.append(int(lin_iters))
-            if not bool(lin_ok):
+            # Inexact-Newton tolerance to stagnation: a PCG stop before the
+            # requested tolerance (rounding-level breakdown when tol*||b||
+            # sits below achievable precision, or maxiter) still yields a
+            # usable direction if it reduced the linear residual
+            # substantially. An early breakdown at rel ~ O(1) signals a
+            # genuinely indefinite tangent: abort the increment
+            # (-> load-step bisection, SURVEY.md §7.3).
+            if not (bool(lin_ok) or float(lin_rel) <= 1e-3):
                 break
         rec = IncrementRecord(
             float(scale), len(norms), norms, pcg_iters, time.perf_counter() - t0

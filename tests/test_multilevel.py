@@ -46,6 +46,11 @@ def test_two_level_cuts_iterations_and_matches():
     mesh = box_mesh(12, 12, 12, element_type="tet4")
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
     bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    # smooth affine start: the raw BC-jump state has a genuinely indefinite
+    # tangent (PCG breakdown -> bisection), which would make the iteration
+    # comparison measure bisection luck instead of preconditioner quality
+    u0 = jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype)
+    u0 = u0.at[:, 2].set(-0.05 * mesh.coords[:, 2])
 
     def run(precond):
         solver = NewtonSolver(
@@ -55,8 +60,9 @@ def test_two_level_cuts_iterations_and_matches():
                 agg_size=32, pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
             ),
         )
-        res = solver.solve()
+        res = solver.solve(u0=u0)
         assert res.converged, precond
+        assert len(res.history) == 1, precond  # no bisection: SPD throughout
         total_pcg = sum(sum(r.pcg_iters) for r in res.history)
         return np.asarray(res.u), total_pcg
 
@@ -93,6 +99,9 @@ def test_three_level_cuts_iterations_and_matches():
     mesh = box_mesh(12, 12, 12, element_type="tet4")
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
     bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    # smooth affine start — see test_two_level_cuts_iterations_and_matches
+    u0 = jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype)
+    u0 = u0.at[:, 2].set(-0.05 * mesh.coords[:, 2])
 
     def run(precond, agg):
         solver = NewtonSolver(
@@ -102,8 +111,9 @@ def test_three_level_cuts_iterations_and_matches():
                 agg_size=agg, pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
             ),
         )
-        res = solver.solve()
+        res = solver.solve(u0=u0)
         assert res.converged, precond
+        assert len(res.history) == 1, precond
         return np.asarray(res.u), sum(sum(r.pcg_iters) for r in res.history)
 
     u_2l, it_2l = run("two_level", 32)
