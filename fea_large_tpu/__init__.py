@@ -32,7 +32,10 @@ from fea_large_tpu.materials.base import (  # noqa: F401
     make_material,
 )
 from fea_large_tpu.materials.svk import StVenantKirchhoff  # noqa: F401
-from fea_large_tpu.materials.neo_hookean import NeoHookean  # noqa: F401
+from fea_large_tpu.materials.neo_hookean import (  # noqa: F401
+    NeoHookean,
+    NeoHookeanVolumetric,
+)
 from fea_large_tpu.materials.autodiff import (  # noqa: F401
     AutodiffMaterial,
     MooneyRivlin,

@@ -31,14 +31,45 @@ def _cmd_run(args) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     mesh = task.mesh
+    n_shards = task.partition.n_shards
     print(
         f"[{task.name}] {mesh.element_type} mesh: {mesh.n_nodes} nodes, "
         f"{mesh.n_elements} elements, {mesh.n_dof} DOFs; "
         f"material={task.material.name}, linear={task.solver.linear}, "
         f"steps={task.loading.n_steps}"
+        + (f", shards={n_shards} ({task.partition.method})" if n_shards > 1 else "")
     )
     bc = task.build_bc()
-    solver = NewtonSolver(mesh, task.material, bc, task.build_forces(), task.solver)
+    if n_shards > 1:
+        # config 5 (BASELINE.json:11): domain-decomposed solve over a device
+        # mesh, driven by the same task file (SURVEY.md §4.1 single-binary
+        # interface)
+        import jax
+
+        from fea_large_tpu.dist.sharded import ShardedNewtonSolver
+
+        devices = jax.devices()
+        if len(devices) < n_shards:
+            print(
+                f"[{task.name}] ERROR: task requests {n_shards} shards but "
+                f"only {len(devices)} devices are visible "
+                "(XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+                "virtual CPU mesh)"
+            )
+            return 2
+        solver = ShardedNewtonSolver(
+            mesh, task.material, bc, task.build_forces(), task.solver,
+            devices=devices[:n_shards],
+            partition_method=task.partition.method,
+        )
+        to_global = solver.u_global
+        from_global = solver.u_from_global
+    else:
+        solver = NewtonSolver(
+            mesh, task.material, bc, task.build_forces(), task.solver
+        )
+        to_global = np.asarray
+        from_global = lambda u: u  # noqa: E731
 
     u0, start = None, 0.0
     ckpt = out_dir / f"{task.name}_checkpoint.npz"
@@ -46,7 +77,7 @@ def _cmd_run(args) -> int:
     records = []
     if args.resume and ckpt.exists():
         data = load_checkpoint(ckpt)
-        u0 = data["u"]
+        u0 = from_global(data["u"])
         start = float(data["load_factor"])
         print(f"[{task.name}] resuming from load factor {start:.4f}")
         # keep the convergence artifact cumulative across resumes: seed from
@@ -77,13 +108,14 @@ def _cmd_run(args) -> int:
             }
         )
         export_npz(
-            ckpt, u, len(records), rec.residual_norms, load_factor=rec.load_factor
+            ckpt, to_global(u), len(records), rec.residual_norms,
+            load_factor=rec.load_factor,
         )
 
     t0 = time.perf_counter()
     result = solver.solve(u0=u0, callback=on_step, start_factor=start)
     wall = time.perf_counter() - t0
-    u = np.asarray(result.u)
+    u = np.asarray(to_global(result.u))
     print(
         f"[{task.name}] {'converged' if result.converged else 'FAILED'} in "
         f"{wall:.2f}s; |u|_max={np.abs(u).max():.6g}"
@@ -102,7 +134,9 @@ def _cmd_run(args) -> int:
     if task.output.vtk:
         from fea_large_tpu.postprocess import nodal_stress
 
-        sigma, vm = nodal_stress(mesh, task.material, result.u)
+        import jax.numpy as jnp
+
+        sigma, vm = nodal_stress(mesh, task.material, jnp.asarray(u))
         export_vtk(
             out_dir / f"{task.name}_deformed.vtk",
             mesh,

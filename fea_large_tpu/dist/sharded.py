@@ -284,6 +284,11 @@ class ShardedNewtonSolver:
             perm, segids = _padded_sorted_maps(agg_own, valid, n_agg)
             return agg_own, valid, perm, segids
 
+        if self.options.coarse_modes != 3:
+            raise ValueError(
+                "sharded solver currently supports coarse_modes=3 "
+                "(rigid-body-mode coarse is a single-device option)"
+            )
         if self.options.preconditioner == "two_level":
             from fea_large_tpu.solvers.multilevel import build_coarse_space
 
@@ -374,9 +379,13 @@ class ShardedNewtonSolver:
                 if dtype == jnp.float64
                 else (soa.gradN32, soa.detJxW32)
             )
+            # buckets=None: per-shard scatter maps stay the direct
+            # segment-sum form (bucket shapes vary per shard and cannot be
+            # stacked on the shard axis; the perf path is single-chip)
             return SoAProblem(
                 gradN=g, detJxW=v, conn_T=soa.conn_T,
-                perm_T=soa.perm_T, segids_T=soa.segids_T, n_nodes=n_local,
+                perm_T=soa.perm_T, segids_T=soa.segids_T, buckets=None,
+                n_nodes=n_local,
             )
 
         def _residual64(d, soa, u_own, scale):
@@ -613,6 +622,12 @@ class ShardedNewtonSolver:
 
     def u_global(self, u_own) -> np.ndarray:
         return self.part.to_global(np.asarray(u_own), self.mesh.n_nodes)
+
+    def u_from_global(self, u: np.ndarray) -> jnp.ndarray:
+        """Global [N, 3] -> device-sharded owned layout [S, No, 3]
+        (checkpoint resume across solver kinds, SURVEY.md §7.4)."""
+        local = self.part.from_global(np.asarray(u)) * self.part.own_mask[:, :, None]
+        return jax.device_put(jnp.asarray(local, DTYPE), self._sharding)
 
     def _newton(self, u, scale):
         opts = self.options

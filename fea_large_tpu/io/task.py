@@ -67,7 +67,11 @@ class OutputSpec:
 
 @dataclasses.dataclass(frozen=True)
 class PartitionSpec:
+    """Domain decomposition request (config 5, BASELINE.json:11): n_shards
+    devices along a 1-D mesh, partitioned by `method` ("slab" or "rcb")."""
+
     n_shards: int = 1
+    method: str = "slab"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +149,7 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         precision=sv.get("precision", "f64"),
         preconditioner=sv.get("preconditioner", "jacobi"),
         agg_size=sv.get("agg_size"),
+        coarse_modes=int(sv.get("coarse_modes", 3)),
         forcing=sv.get("forcing", "fixed"),
     )
     out = data.get("output", {})
@@ -154,7 +159,10 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         npz=bool(out.get("npz", True)),
     )
     part = data.get("partition", {})
-    partition = PartitionSpec(n_shards=int(part.get("n_shards", 1)))
+    partition = PartitionSpec(
+        n_shards=int(part.get("n_shards", 1)),
+        method=str(part.get("method", "slab")),
+    )
     return Task(
         mesh=mesh,
         material=material,

@@ -5,4 +5,7 @@ from fea_large_tpu.materials.base import (  # noqa: F401
     MATERIAL_REGISTRY,
 )
 from fea_large_tpu.materials.svk import StVenantKirchhoff  # noqa: F401
-from fea_large_tpu.materials.neo_hookean import NeoHookean  # noqa: F401
+from fea_large_tpu.materials.neo_hookean import (  # noqa: F401
+    NeoHookean,
+    NeoHookeanVolumetric,
+)

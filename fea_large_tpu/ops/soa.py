@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from fea_large_tpu.config import INDEX_DTYPE
 from fea_large_tpu.materials.base import Material
-from fea_large_tpu.materials.neo_hookean import NeoHookean
+from fea_large_tpu.materials.neo_hookean import NeoHookean, NeoHookeanVolumetric
 from fea_large_tpu.materials.svk import StVenantKirchhoff
 
 # ---------------------------------------------------------------------------
@@ -98,19 +98,80 @@ def m3_unstack(A):
 # ---------------------------------------------------------------------------
 
 
+class ScatterBuckets(NamedTuple):
+    """Scatter-as-gather maps: for each node, the list of flat (a-major)
+    element-slot positions that hit it, padded within VALENCE BUCKETS.
+
+    Rationale (measured on TPU v5e at 1M DOF, bench/scatter_variants.py):
+    indexed reads (gathers) cost ~1.8 ns/scalar but indexed read-modify-
+    writes (scatter-adds / segment sums) cost ~7.1 ns/scalar — TPUs lower
+    both to scalar-core loops, but the add forces a serialized RMW. Summing
+    each node's incident values with a padded GATHER + masked vector
+    reduction converts the 50 ms scatter into a ~17 ms gather (pad factor
+    ~1.4 with power-of-two valence buckets; a single dmax-padded table
+    wastes 4x and loses). Fixed index lists also make the summation order
+    deterministic by construction (SURVEY.md §7.2) — no reliance on
+    backend scatter-add ordering.
+    """
+
+    idx: tuple  # per bucket: i32[nb, v] positions into the flat [npe*E] data
+    mask: tuple  # per bucket: f32[nb, v] 1 for real entries
+    inv: jnp.ndarray  # i32[N] concatenated-bucket order -> node order
+
+    @staticmethod
+    def build(conn_T: np.ndarray, n_nodes: int) -> "ScatterBuckets":
+        flat = np.asarray(conn_T).reshape(-1)
+        counts = np.bincount(flat, minlength=n_nodes)
+        order = np.argsort(flat, kind="stable").astype(np.int64)
+        starts = np.zeros(n_nodes + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        cmax = int(counts.max()) if n_nodes else 1
+        caps, cap = [], 1
+        while cap < max(cmax, 1):
+            cap *= 2
+            caps.append(cap)
+        if not caps:
+            caps = [1]
+        idx_t, mask_t, node_order = [], [], []
+        lo = -1  # first bucket also takes unreferenced (count 0) nodes
+        for cap in caps:
+            sel = np.nonzero((counts > lo) & (counts <= cap))[0]
+            lo = cap
+            if len(sel) == 0:
+                continue
+            c = counts[sel]
+            off = np.minimum(np.arange(cap)[None, :], np.maximum(c - 1, 0)[:, None])
+            pos = np.minimum(starts[sel][:, None] + off, len(order) - 1)
+            idx_t.append(jnp.asarray(order[pos], INDEX_DTYPE))
+            mask_t.append(jnp.asarray(np.arange(cap)[None, :] < c[:, None], jnp.float32))
+            node_order.append(sel)
+        inv = np.empty(n_nodes, np.int64)
+        inv[np.concatenate(node_order)] = np.arange(n_nodes)
+        return ScatterBuckets(
+            idx=tuple(idx_t), mask=tuple(mask_t),
+            inv=jnp.asarray(inv, INDEX_DTYPE),
+        )
+
+    def apply(self, d: jnp.ndarray) -> jnp.ndarray:
+        """d [C, npe*E] flat per-slot values -> [C, N] nodal sums."""
+        parts = [
+            jnp.sum(d[:, idx] * mask.astype(d.dtype)[None], axis=2)
+            for idx, mask in zip(self.idx, self.mask)
+        ]
+        return jnp.concatenate(parts, axis=1)[:, self.inv]
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SoAProblem:
     """Static SoA arrays for one mesh (pytree; the node count is static
     aux so reductions see concrete sizes under jit).
 
-    The nodal scatter-add is a DIRECT (unsorted) segment-sum over the
-    flattened connectivity: measured against the alternatives on TPU, the
-    pre-sorted segment-sum pays an extra permutation gather (~15 ms per
-    component per SpMV at 1M DOF) and a padded per-node gather costs 2-4x
-    more (no gather hardware; padding waste is linear). XLA scatter-add on
-    TPU/CPU executes in a fixed serial order (no atomics), so the direct
-    form is still deterministic run-to-run (SURVEY.md §7.2). The sorted
+    The nodal scatter-add runs as a bucketed scatter-as-gather when
+    `buckets` is present (see ScatterBuckets — ~3x cheaper than any
+    scatter-add variant on TPU), falling back to a DIRECT (unsorted)
+    segment-sum over the flattened connectivity (deterministic on TPU/CPU:
+    XLA executes scatter-add updates in a fixed serial order). The sorted
     maps (`perm_T`/`segids_T`) are kept for consumers that need an
     ascending-segment layout.
     """
@@ -120,11 +181,13 @@ class SoAProblem:
     conn_T: jnp.ndarray  # i32[npe, E]
     perm_T: jnp.ndarray  # i32[npe*E] stable sort of flat (a, e) by node id
     segids_T: jnp.ndarray  # i32[npe*E] node per sorted slot
+    buckets: ScatterBuckets | None
     n_nodes: int
 
     def tree_flatten(self):
         return (
-            (self.gradN, self.detJxW, self.conn_T, self.perm_T, self.segids_T),
+            (self.gradN, self.detJxW, self.conn_T, self.perm_T, self.segids_T,
+             self.buckets),
             self.n_nodes,
         )
 
@@ -133,8 +196,11 @@ class SoAProblem:
         return cls(*children, n_nodes)
 
     @staticmethod
-    def build(mesh, dtype=jnp.float32) -> "SoAProblem":
-        """Host-side build from a Mesh (cold path)."""
+    def build(mesh, dtype=jnp.float32, share_maps_from: "SoAProblem | None" = None
+              ) -> "SoAProblem":
+        """Host-side build from a Mesh (cold path). `share_maps_from` reuses
+        the index maps of an already-built SoAProblem for the same mesh
+        (they are dtype-independent)."""
         elem = mesh.element
         coords, conn = mesh.coords_host, mesh.conn_host
         dN = np.asarray(elem.shape_grad)  # [q, npe, 3]
@@ -143,15 +209,26 @@ class SoAProblem:
         J = np.einsum("eai,qaj->eqij", Xe, dN)
         detJ = np.linalg.det(J)
         gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [E,q,npe,3]
-        conn_T = np.ascontiguousarray(conn.T)  # [npe, E]
-        flat = conn_T.reshape(-1)
-        perm = np.argsort(flat, kind="stable")
+        if share_maps_from is not None:
+            s = share_maps_from
+            conn_T, perm_T, segids_T, buckets = (
+                s.conn_T, s.perm_T, s.segids_T, s.buckets
+            )
+        else:
+            conn_np = np.ascontiguousarray(conn.T)  # [npe, E]
+            flat = conn_np.reshape(-1)
+            perm = np.argsort(flat, kind="stable")
+            conn_T = jnp.asarray(conn_np, INDEX_DTYPE)
+            perm_T = jnp.asarray(perm, INDEX_DTYPE)
+            segids_T = jnp.asarray(flat[perm], INDEX_DTYPE)
+            buckets = ScatterBuckets.build(conn_np, int(mesh.n_nodes))
         return SoAProblem(
             gradN=jnp.asarray(np.transpose(gradN, (1, 2, 3, 0)), dtype),
             detJxW=jnp.asarray((detJ * w[None, :]).T, dtype),
-            conn_T=jnp.asarray(conn_T, INDEX_DTYPE),
-            perm_T=jnp.asarray(perm, INDEX_DTYPE),
-            segids_T=jnp.asarray(flat[perm], INDEX_DTYPE),
+            conn_T=conn_T,
+            perm_T=perm_T,
+            segids_T=segids_T,
+            buckets=buckets,
             n_nodes=int(mesh.n_nodes),
         )
 
@@ -162,23 +239,29 @@ def soa_gather(p: SoAProblem, v_T: jnp.ndarray):
     return [[ve[i, a] for a in range(p.conn_T.shape[0])] for i in range(3)]
 
 
-def soa_scatter(p: SoAProblem, fe):
-    """fe [i][a] of [E] -> nodal sums [3, N] via direct segment_sum over the
-    flattened connectivity.
+def soa_scatter_channels(p: SoAProblem, channels: list) -> jnp.ndarray:
+    """channels: C lists of npe [E]-vectors -> [C, N] nodal sums.
 
-    No pre-sort permutation: XLA scatter-add on TPU/CPU executes in a fixed
-    serial order (no atomics), so this is deterministic run-to-run
-    (SURVEY.md §7.2) while skipping the permutation gather — measured
-    ~15 ms per component per SpMV at 1M DOF, ~30% of the iteration."""
+    Bucketed scatter-as-gather when maps are available (ScatterBuckets
+    docstring has the measured cost model), else direct segment-sum."""
     npe = p.conn_T.shape[0]
+    d = jnp.stack(
+        [jnp.concatenate([ch[a] for a in range(npe)]) for ch in channels]
+    )  # [C, npe*E]
+    if p.buckets is not None:
+        return p.buckets.apply(d)
     flat_ids = p.conn_T.reshape(-1)
-    rows = []
-    for i in range(3):
-        flat = jnp.concatenate([fe[i][a] for a in range(npe)])
-        rows.append(
-            jax.ops.segment_sum(flat, flat_ids, num_segments=p.n_nodes)
-        )
-    return jnp.stack(rows)  # [3, N]
+    return jnp.stack(
+        [
+            jax.ops.segment_sum(d[c], flat_ids, num_segments=p.n_nodes)
+            for c in range(d.shape[0])
+        ]
+    )
+
+
+def soa_scatter(p: SoAProblem, fe):
+    """fe [i][a] of [E] -> nodal sums [3, N]."""
+    return soa_scatter_channels(p, [fe[0], fe[1], fe[2]])
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +301,19 @@ def _soa_material(material: Material, C, dtype):
         ]
         eye = [[one if i == j else jnp.zeros_like(one) for j in range(3)] for i in range(3)]
         return S, lam * one, eye, 2.0 * mu * one
+    if isinstance(material, NeoHookeanVolumetric):
+        # note: check BEFORE NeoHookean in case of future subclassing
+        Cinv, detC = m3_inv_det(C)
+        J = jnp.sqrt(detC)
+        vol = lam * J * (J - 1.0)
+        S = [
+            [
+                mu * ((1.0 if i == j else 0.0) - Cinv[i][j]) + vol * Cinv[i][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        return S, lam * J * (2.0 * J - 1.0), Cinv, 2.0 * (mu - vol)
     if isinstance(material, NeoHookean):
         Cinv, detC = m3_inv_det(C)
         lnJ = 0.5 * jnp.log(detC)
@@ -351,15 +447,8 @@ def soa_diag_blocks(p: SoAProblem, state: SoAState) -> jnp.ndarray:
                     if i == k:
                         term = term + geo
                     acc[i][k][a] = acc[i][k][a] + term
-    # scatter each (i,k) channel over nodes (see soa_scatter)
-    flat_ids = p.conn_T.reshape(-1)
-    rows = []
-    for i in range(3):
-        cols = []
-        for k in range(3):
-            flat = jnp.concatenate([acc[i][k][a] for a in range(npe)])
-            cols.append(
-                jax.ops.segment_sum(flat, flat_ids, num_segments=p.n_nodes)
-            )
-        rows.append(jnp.stack(cols))
-    return jnp.stack(rows)  # [3, 3, N]
+    # scatter all 9 (i,k) channels over nodes in one pass (see soa_scatter)
+    out = soa_scatter_channels(
+        p, [acc[i][k] for i in range(3) for k in range(3)]
+    )
+    return out.reshape(3, 3, p.n_nodes)

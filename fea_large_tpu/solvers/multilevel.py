@@ -36,32 +36,62 @@ from fea_large_tpu.config import INDEX_DTYPE
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class CoarseSpace:
-    """Aggregation maps + factored coarse operator (pytree)."""
+    """Aggregation maps + factored coarse operator (pytree).
+
+    `modes` selects the per-aggregate coarse basis:
+      3 — translations only (piecewise-constant P, identity 3x3 blocks);
+      6 — full RIGID BODY MODES (3 translations + 3 rotations about the
+          aggregate centroid): the near-kernel of 3-D elasticity. The
+          prolongator block per node is B_n = [I | cross-matrix(d_n)] with
+          d_n = x_n - centroid(agg(n)); adding the rotations removes the
+          low-energy bending/twisting modes a translation-only coarse space
+          cannot represent (standard smoothed-aggregation practice for
+          elasticity) and cuts CG iteration counts accordingly.
+    """
 
     agg: jnp.ndarray  # i32[N] aggregate id per node
     perm: jnp.ndarray  # i32[N] stable sort of nodes by aggregate
     segids: jnp.ndarray  # i32[N] aggregate per sorted slot
-    chol: jnp.ndarray  # f32[3*Nc, 3*Nc] lower Cholesky factor of Ac
+    chol: jnp.ndarray  # f32[modes*Nc, modes*Nc] lower Cholesky of Ac
+    dvec: jnp.ndarray | None  # f32[N, 3] node - aggregate centroid (modes=6)
+    buckets: object | None  # ops.soa.ScatterBuckets over agg ids (or None)
     n_agg: int
+    modes: int
 
     def tree_flatten(self):
-        return (self.agg, self.perm, self.segids, self.chol), self.n_agg
+        return (
+            (self.agg, self.perm, self.segids, self.chol, self.dvec,
+             self.buckets),
+            (self.n_agg, self.modes),
+        )
 
     @classmethod
-    def tree_unflatten(cls, n_agg, children):
-        return cls(*children, n_agg)
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     # -- transfer operators --------------------------------------------------
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
-        """P^T r: [N, 3] -> [Nc, 3] (sorted segment sum — deterministic)."""
+        """P^T r: [N, 3] -> [Nc, modes].
+
+        Mode 3+k of aggregate A is sum_{n in A} (e_k x d_n) . r_n
+        = sum (d_n x r_n)_k. Deterministic: bucketed gather-sum when maps
+        exist, else sorted segment sum."""
+        t = r
+        if self.modes == 6:
+            t = jnp.concatenate([r, jnp.cross(self.dvec.astype(r.dtype), r)], 1)
+        if self.buckets is not None:
+            return self.buckets.apply(t.T).T
         return jax.ops.segment_sum(
-            r[self.perm], self.segids, num_segments=self.n_agg,
+            t[self.perm], self.segids, num_segments=self.n_agg,
             indices_are_sorted=True,
         )
 
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
-        """P xc: [Nc, 3] -> [N, 3]."""
-        return xc[self.agg]
+        """P xc: [Nc, modes] -> [N, 3] ((P xc)_n = t_A + omega_A x d_n)."""
+        za = xc[self.agg]
+        if self.modes == 6:
+            return za[:, :3] + jnp.cross(za[:, 3:], self.dvec.astype(xc.dtype))
+        return za
 
     def coarse_solve(self, rc: jnp.ndarray) -> jnp.ndarray:
         """Ac^{-1} rc via the cached Cholesky factor."""
@@ -106,6 +136,7 @@ def build_coarse_space(
     bc,
     agg_size: int | None = None,
     dtype=jnp.float32,
+    modes: int = 3,
 ) -> CoarseSpace:
     """Assemble + factor the coarse operator at the reference state u=0.
 
@@ -120,16 +151,45 @@ def build_coarse_space(
     element tangents pad catastrophically on TPU tiles, and this is a
     one-time cold path - SURVEY.md §4.5), BC-masked, aggregated with P,
     then Cholesky-factored once on device.
+
+    `modes=6` builds the rigid-body-mode coarse basis (CoarseSpace
+    docstring) with a default target of ~2500 aggregates so the dense
+    factor stays the same size as the 3-mode default (~15k dofs).
     """
+    if modes not in (3, 6):
+        raise ValueError(f"coarse modes must be 3 or 6, got {modes}")
+    coords = mesh.coords_host
     if agg_size is None:
-        agg_size = default_agg_size(mesh.n_nodes)
-    agg = aggregate_nodes(mesh.coords_host, agg_size)
+        agg_size = default_agg_size(
+            mesh.n_nodes, target_coarse=5000 if modes == 3 else 2500
+        )
+    agg = aggregate_nodes(coords, agg_size)
     n_agg = int(agg.max()) + 1
     perm = np.argsort(agg, kind="stable")
 
     lam = float(material.lam)
     mu = float(material.mu)
-    Ac = _host_coarse_matrix(mesh, lam, mu, agg, n_agg, np.asarray(bc.free_mask))
+    free_mask = np.asarray(bc.free_mask)
+    dvec = None
+    buckets = None
+    if modes == 3:
+        Ac = _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask)
+    else:
+        cnt = np.bincount(agg, minlength=n_agg).astype(float)
+        cent = np.stack(
+            [
+                np.bincount(agg, weights=coords[:, d], minlength=n_agg) / cnt
+                for d in range(3)
+            ],
+            axis=1,
+        )
+        Ac = _host_coarse_matrix_rbm(
+            mesh, lam, mu, agg, cent, n_agg, free_mask
+        )
+        dvec = jnp.asarray(coords - cent[agg], jnp.float32)
+        from fea_large_tpu.ops.soa import ScatterBuckets
+
+        buckets = ScatterBuckets.build(agg[None, :], n_agg)
 
     # fully-fixed aggregate components have empty rows: unit diagonal (plus
     # a tiny ridge so f32 Cholesky stays robust)
@@ -142,7 +202,10 @@ def build_coarse_space(
         perm=jnp.asarray(perm, INDEX_DTYPE),
         segids=jnp.asarray(agg[perm], INDEX_DTYPE),
         chol=chol,
+        dvec=dvec,
+        buckets=buckets,
         n_agg=n_agg,
+        modes=modes,
     )
 
 
@@ -213,6 +276,108 @@ def _coarse_entry_chunks(mesh, lam, mu, agg, free_mask, chunk=65536):
         pair_valid = valid[:, :, None] & valid[:, None, :]
         blk = blk * pair_valid[..., None, None]
         yield slot_agg, blk, pair_valid
+
+
+def _element_slots(agg_e):
+    """Local aggregate slots per element: (slot_agg [e, nslots],
+    slot_of_a [e, npe], valid [e, nslots])."""
+    e = agg_e.shape[0]
+    sidx = np.argsort(agg_e, axis=1, kind="stable")
+    sa = np.take_along_axis(agg_e, sidx, 1)
+    newgrp = np.ones_like(sa, bool)
+    newgrp[:, 1:] = sa[:, 1:] != sa[:, :-1]
+    slot_sorted = np.cumsum(newgrp, axis=1) - 1
+    nslots = int(slot_sorted.max()) + 1
+    slot_of_a = np.empty_like(slot_sorted)
+    np.put_along_axis(slot_of_a, sidx, slot_sorted, 1)
+    rows = np.arange(e)
+    slot_agg = np.zeros((e, nslots), np.int64)
+    valid = np.zeros((e, nslots), bool)
+    slot_agg[rows[:, None], slot_of_a] = agg_e
+    valid[rows[:, None], slot_of_a] = True
+    return slot_agg, slot_of_a, valid
+
+
+def _coarse_entry_chunks_rbm(mesh, lam, mu, agg, cent, free_mask, chunk=32768):
+    """Yield (slot_agg [e, nslots], blk [e, s, t, 6, 6], pair_valid) chunks
+    of the aggregated masked linear-elastic tangent at u=0 for the
+    RIGID-BODY-MODE coarse basis.
+
+    Per (element, aggregate slot, mode m) the masked gradient moment is
+      W^m[i,J] = sum_{a in slot} mask[a,i] B_a[i,m] g_a[J],
+      B_a = [I | cross-matrix(d_a)],  d_a = x_a - centroid(agg),
+    and the Galerkin block follows from the factored elastic tangent:
+      blk[m,n] = sum_q V [ lam tr(W^m) tr(W^n) + mu W^m : W^n
+                         + mu W^m : (W^n)^T ].
+    (For translations this reduces exactly to `_coarse_entry_chunks`.)
+    """
+    elem = mesh.element
+    coords, conn = mesh.coords_host, mesh.conn_host
+    dN = np.asarray(elem.shape_grad)  # [q, npe, 3]
+    wq = np.asarray(elem.quad_weights)
+    E, npe = conn.shape
+    nq = dN.shape[0]
+    for s0 in range(0, E, chunk):
+        c = conn[s0 : s0 + chunk]
+        e = len(c)
+        Xe = coords[c]
+        J = np.einsum("eai,qaj->eqij", Xe, dN)
+        detJ = np.linalg.det(J)
+        g = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [e,q,npe,3]
+        V = detJ * wq[None, :]  # [e, q]
+        m = free_mask[c]  # [e, npe, 3]
+        agg_e = agg[c]
+        slot_agg, slot_of_a, valid = _element_slots(agg_e)
+        nslots = slot_agg.shape[1]
+        d = Xe - cent[agg_e]  # [e, npe, 3]
+        rows = np.arange(e)
+
+        W = np.zeros((e, nslots, nq, 6, 3, 3))
+        for a in range(npe):
+            da = d[:, a]
+            B = np.zeros((e, 3, 6))
+            B[:, 0, 0] = B[:, 1, 1] = B[:, 2, 2] = 1.0
+            # columns 3+k = e_k x d
+            B[:, 1, 3] = -da[:, 2]
+            B[:, 2, 3] = da[:, 1]
+            B[:, 0, 4] = da[:, 2]
+            B[:, 2, 4] = -da[:, 0]
+            B[:, 0, 5] = -da[:, 1]
+            B[:, 1, 5] = da[:, 0]
+            A1 = m[:, a, :, None] * B  # [e, i, m], BC-masked
+            contrib = np.einsum("eim,eqJ->eqmiJ", A1, g[:, :, a])
+            W[rows, slot_of_a[:, a]] += contrib
+        Vw = W * V[:, None, :, None, None, None]
+        tr = np.einsum("esqmii->esqm", W)
+        Vtr = np.einsum("esqmii->esqm", Vw)
+        blk = (
+            lam * np.einsum("esqm,etqn->estmn", Vtr, tr, optimize=True)
+            + mu * np.einsum("esqmiJ,etqniJ->estmn", Vw, W, optimize=True)
+            + mu * np.einsum("esqmiJ,etqnJi->estmn", Vw, W, optimize=True)
+        )
+        pair_valid = valid[:, :, None] & valid[:, None, :]
+        blk = blk * pair_valid[..., None, None]
+        yield slot_agg, blk, pair_valid
+
+
+def _host_coarse_matrix_rbm(mesh, lam, mu, agg, cent, n_agg, free_mask):
+    """Dense [6Nc, 6Nc] Galerkin coarse matrix for the RBM basis (numpy)."""
+    nc6 = 6 * n_agg
+    ii = np.arange(6)
+    Ac = np.zeros(nc6 * nc6)
+    for slot_agg, blk, _ in _coarse_entry_chunks_rbm(
+        mesh, lam, mu, agg, cent, free_mask
+    ):
+        cdofs = 6 * slot_agg  # [e, nslots]
+        keys = (
+            (cdofs[:, :, None, None, None] + ii[None, None, None, :, None]) * nc6
+            + cdofs[:, None, :, None, None]
+            + ii[None, None, None, None, :]
+        )
+        Ac += np.bincount(
+            keys.reshape(-1), weights=blk.reshape(-1), minlength=nc6 * nc6
+        )
+    return Ac.reshape(nc6, nc6)
 
 
 def _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask, chunk=65536):

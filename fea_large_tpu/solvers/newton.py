@@ -80,6 +80,10 @@ class SolverOptions:
     #: O(h^-1) iteration growth; solvers/multilevel.py). Mixed path only.
     preconditioner: str = "jacobi"
     agg_size: int | None = None  # nodes/aggregate ("two_level"; None = auto)
+    #: coarse basis per aggregate: 3 (translations) or 6 (full rigid-body
+    #: modes — the elasticity near-kernel; cuts CG iterations, see
+    #: solvers/multilevel.py::CoarseSpace). "two_level" only.
+    coarse_modes: int = 3
     #: linear-solve forcing: "fixed" solves every Newton system to pcg_tol;
     #: "ew" uses Eisenstat-Walker (choice 2) adaptive forcing — early Newton
     #: systems are solved loosely (the direction is inexact anyway far from
@@ -312,7 +316,9 @@ class NewtonSolver:
             from fea_large_tpu.ops.soa import SoAProblem
 
             self._soa = SoAProblem.build(mesh, jnp.float32)
-            self._soa64 = SoAProblem.build(mesh, jnp.float64)
+            self._soa64 = SoAProblem.build(
+                mesh, jnp.float64, share_maps_from=self._soa
+            )
             self._material32 = jax.tree.map(
                 lambda x: x.astype(jnp.float32), material
             )
@@ -321,7 +327,8 @@ class NewtonSolver:
                 from fea_large_tpu.solvers.multilevel import build_coarse_space
 
                 self._coarse = build_coarse_space(
-                    mesh, material, bc, agg_size=self.options.agg_size
+                    mesh, material, bc, agg_size=self.options.agg_size,
+                    modes=self.options.coarse_modes,
                 )
             elif self.options.preconditioner == "three_level":
                 from fea_large_tpu.solvers.multilevel import build_multilevel_space

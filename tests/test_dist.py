@@ -153,7 +153,7 @@ def test_sharded_with_external_forces(rng):
     np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
 
 
-@pytest.mark.parametrize("precond", ["jacobi", "two_level"])
+@pytest.mark.parametrize("precond", ["jacobi", "two_level", "three_level"])
 def test_sharded_mixed_precision(precond, rng):
     """Sharded mixed-precision path (SoA f32 PCG + f64 residual, psum dots,
     ppermute halos) must reproduce the single-device f64 solution."""

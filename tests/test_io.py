@@ -203,3 +203,47 @@ def test_sexp_forces_and_comments(tmp_path):
     assert task.loading.forces[0].vector == (0.0, 0.0, -0.1)
     f = task.build_forces()
     assert f is not None and float(f.sum()) != 0.0
+
+
+def test_cli_distributed_run(tmp_path):
+    """The CLI must honor partition.n_shards by running the domain-
+    decomposed solver (config 5 via the single-binary interface)."""
+    task = {
+        "mesh": {"box": {"nx": 8, "ny": 3, "nz": 3, "lx": 2.0}},
+        "element_type": "tet4",
+        "material": {"model": "neo_hookean", "lam": 1.0, "mu": 0.6},
+        "loading": {
+            "n_steps": 2,
+            "dirichlet": [
+                {"set": "xmin", "components": "xyz", "value": 0.0},
+                {"set": "xmax", "components": "x", "value": -0.05},
+            ],
+        },
+        "solver": {
+            "linear": "pcg", "precision": "mixed",
+            "preconditioner": "two_level", "forcing": "ew",
+            "pcg_tol": 1e-6, "newton_rtol": 1e-8,
+        },
+        "partition": {"n_shards": 4, "method": "slab"},
+        "output": {"dir": str(tmp_path / "out")},
+    }
+    task_file = tmp_path / "dist.json"
+    task_file.write_text(json.dumps(task))
+    import os
+
+    env = {
+        **os.environ,
+        "FEA_PLATFORM": "cpu",
+        "XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8",
+    }
+    proc = subprocess.run(
+        [sys.executable, "-m", "fea_large_tpu", "run", str(task_file)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "shards=4" in proc.stdout
+    conv = json.loads(
+        (tmp_path / "out" / "dist_convergence.json").read_text()
+    )
+    assert conv["converged"] and len(conv["steps"]) == 2

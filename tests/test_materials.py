@@ -8,7 +8,7 @@ import pytest
 
 from fea_large_tpu.materials import make_material, lame_from_E_nu, MATERIAL_REGISTRY
 
-MATERIALS = ["svk", "neo_hookean"]
+MATERIALS = ["svk", "neo_hookean", "neo_hookean_vol"]
 
 
 def _random_C(rng, batch=()):

@@ -25,17 +25,97 @@ def test_aggregate_nodes_partition():
     assert counts.min() >= 1
 
 
-def test_transfer_operators_adjoint(rng):
+@pytest.mark.parametrize("modes", [3, 6])
+def test_transfer_operators_adjoint(modes, rng):
     """restrict must be the exact adjoint of prolong: <P^T r, xc> == <r, P xc>."""
     mesh = box_mesh(3, 3, 3, element_type="tet4")
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
     bc = DirichletBuilder(mesh).fix("zmin").build()
-    coarse = build_coarse_space(mesh, mat, bc, agg_size=16)
+    coarse = build_coarse_space(mesh, mat, bc, agg_size=16, modes=modes)
     r = jnp.asarray(rng.standard_normal((mesh.n_nodes, 3)), jnp.float32)
-    xc = jnp.asarray(rng.standard_normal((coarse.n_agg, 3)), jnp.float32)
+    xc = jnp.asarray(rng.standard_normal((coarse.n_agg, modes)), jnp.float32)
     lhs = float(jnp.vdot(coarse.restrict(r), xc))
     rhs = float(jnp.vdot(r, coarse.prolong(xc)))
     assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), 1.0)
+
+
+def test_rbm_coarse_matrix_matches_direct_galerkin(rng):
+    """The factored RBM coarse assembly must equal the direct Galerkin
+    triple product P^T (M K0 M) P with the explicit rigid-body-mode
+    prolongator and the device-assembled tangent at u=0."""
+    from fea_large_tpu.assembly.dense import assemble_dense
+    from fea_large_tpu.elements.kernels import precompute_geometry
+    from fea_large_tpu.solvers.multilevel import (
+        _host_coarse_matrix_rbm,
+    )
+
+    mesh = box_mesh(3, 3, 3, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.3), jnp.asarray(0.7))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("xmax", "x", 0.1).build()
+    N = mesh.n_nodes
+    geom = precompute_geometry(mesh.coords, mesh.conn, mesh.element)
+    u0 = jnp.zeros((N, 3), mesh.coords.dtype)
+    K, _ = assemble_dense(u0, mesh.conn, geom, mat)
+    K = np.asarray(K).reshape(3 * N, 3 * N)
+    m = np.asarray(bc.free_mask).reshape(-1)
+    K = K * m[:, None] * m[None, :]
+
+    coords = mesh.coords_host
+    agg = aggregate_nodes(coords, agg_size=12)
+    n_agg = int(agg.max()) + 1
+    cnt = np.bincount(agg, minlength=n_agg).astype(float)
+    cent = np.stack(
+        [np.bincount(agg, weights=coords[:, d], minlength=n_agg) / cnt
+         for d in range(3)], axis=1,
+    )
+    # explicit prolongator: B_n = [I | cross-matrix(d_n)]
+    P = np.zeros((3 * N, 6 * n_agg))
+    for n in range(N):
+        A = agg[n]
+        d = coords[n] - cent[A]
+        B = np.zeros((3, 6))
+        B[0, 0] = B[1, 1] = B[2, 2] = 1.0
+        B[1, 3], B[2, 3] = -d[2], d[1]
+        B[0, 4], B[2, 4] = d[2], -d[0]
+        B[0, 5], B[1, 5] = -d[1], d[0]
+        P[3 * n : 3 * n + 3, 6 * A : 6 * A + 6] = B
+    Ac_direct = P.T @ K @ P
+    Ac_fact = _host_coarse_matrix_rbm(
+        mesh, 1.3, 0.7, agg, cent, n_agg, np.asarray(bc.free_mask)
+    )
+    np.testing.assert_allclose(Ac_fact, Ac_direct, rtol=1e-9, atol=1e-10)
+
+
+def test_rbm_coarse_cuts_iterations():
+    """modes=6 (rigid-body) coarse must converge to the same solution with
+    fewer PCG iterations than the translation-only coarse at comparable
+    coarse-space size."""
+    mesh = box_mesh(12, 12, 12, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    u0 = jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype)
+    u0 = u0.at[:, 2].set(-0.05 * mesh.coords[:, 2])
+
+    def run(modes, agg):
+        solver = NewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(
+                linear="pcg", precision="mixed", preconditioner="two_level",
+                agg_size=agg, coarse_modes=modes, pcg_tol=1e-6,
+                newton_rtol=1e-9, max_newton=60,
+            ),
+        )
+        res = solver.solve(u0=u0)
+        assert res.converged, modes
+        assert len(res.history) == 1
+        return np.asarray(res.u), sum(sum(r.pcg_iters) for r in res.history)
+
+    # same coarse DOF budget: 6 modes x (2x node aggregate size)
+    u_t, it_t = run(3, 32)
+    u_r, it_r = run(6, 64)
+    scale = np.abs(u_t).max()
+    np.testing.assert_allclose(u_r, u_t, rtol=0, atol=2e-7 * scale)
+    assert it_r < it_t, (it_r, it_t)
 
 
 def test_two_level_cuts_iterations_and_matches():

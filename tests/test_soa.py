@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from fea_large_tpu import NeoHookean, StVenantKirchhoff
+from fea_large_tpu import NeoHookean, NeoHookeanVolumetric, StVenantKirchhoff
 from fea_large_tpu.assembly.matfree import TangentState, apply_tangent
 from fea_large_tpu.assembly.scatter import NodeScatter
 from fea_large_tpu.elements.kernels import element_diag_blocks, precompute_geometry
@@ -33,7 +33,9 @@ def _setup(element_type, mat_cls, rng):
 @pytest.mark.parametrize(
     "element_type,mat_cls",
     [("tet4", StVenantKirchhoff), ("tet4", NeoHookean),
-     ("tet10", StVenantKirchhoff), ("tet10", NeoHookean)],
+     ("tet4", NeoHookeanVolumetric),
+     ("tet10", StVenantKirchhoff), ("tet10", NeoHookean),
+     ("tet10", NeoHookeanVolumetric)],
 )
 def test_soa_matches_aos(element_type, mat_cls, rng):
     mesh, mat, geom, scatter, u, soa = _setup(element_type, mat_cls, rng)

@@ -206,3 +206,58 @@ def test_eisenstat_walker_forcing(rng):
     scale = np.abs(u_fix).max()
     np.testing.assert_allclose(u_ew, u_fix, rtol=0, atol=1e-6 * scale)
     assert it_ew < it_fix, (it_ew, it_fix)
+
+
+def test_load_step_bisection_recovers():
+    """SURVEY.md §7.3: a load increment too large for Newton (indefinite
+    tangent / iteration blow-up at the raw BC jump) must trigger automatic
+    bisection and the solve must still reach full load with the halved
+    schedule recorded."""
+    mesh = box_mesh(4, 4, 4, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.35).build()
+    solver = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", n_steps=1, max_newton=5, pcg_tol=1e-10,
+            newton_rtol=1e-9, max_bisections=8,
+        ),
+    )
+    res = solver.solve()
+    assert res.converged
+    lams = [r.load_factor for r in res.history]
+    # first attempt at full load, at least one failed/bisected station, and
+    # the final converged increment back at full load
+    assert lams[0] == 1.0
+    assert len(lams) >= 3, lams
+    assert any(l < 1.0 for l in lams), lams
+    assert lams[-1] == 1.0
+    # the recorded schedule must show a strict halving after the failure
+    assert abs(lams[1] - 0.5) < 1e-12 or abs(lams[1] - 0.75) < 1e-12, lams
+
+
+def test_pcg_chunk_continuation_bitwise():
+    """The chunked CG recurrence (bounded device executions, SURVEY.md
+    §7.7/backend execution limits) must continue EXACTLY across chunk
+    boundaries: a pcg_chunk=7 solve is bitwise-identical to one big chunk."""
+    mesh = box_mesh(5, 5, 5, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+
+    def run(chunk):
+        solver = NewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(
+                linear="pcg", precision="mixed", pcg_chunk=chunk,
+                pcg_tol=1e-6, newton_rtol=1e-9, max_newton=40,
+            ),
+        )
+        res = solver.solve()
+        assert res.converged, chunk
+        iters = sum(sum(r.pcg_iters) for r in res.history)
+        assert iters > 7  # the small chunk must actually cross boundaries
+        return np.asarray(res.u)
+
+    u_small = run(7)
+    u_big = run(100000)
+    assert np.array_equal(u_small, u_big)
