@@ -95,6 +95,7 @@ def main():
                 else None
             ),
             coarse_modes=int(os.environ.get("FEA_BENCH_COARSE_MODES", 6)),
+            pallas=bool(int(os.environ.get("FEA_BENCH_PALLAS", "0"))),
             forcing="ew" if mode == "newton" else "fixed",
             newton_rtol=1e-6,
             pcg_tol=1e-6 if precision == "mixed" else 1e-8,

@@ -82,6 +82,21 @@ def main(n=16):
             lambda v: dep(v, apply_block_jacobi(inv_blocks, free32, v)), v0
         ),
     }
+    if jax.default_backend() == "tpu":
+        # Pallas element-block kernels vs the XLA SoA path, in-loop
+        # (interpret mode off-TPU is orders slower — skip there)
+        from fea_large_tpu.ops.pallas_kernels import (
+            soa_apply_tangent_pallas,
+            soa_freeze_pallas,
+        )
+
+        phases["matvec_f32_pallas"] = loop_time(
+            lambda v: dep(v, soa_apply_tangent_pallas(soa32, state, v.T)), v0
+        )
+        phases["freeze_f32_pallas"] = loop_time(
+            lambda v: dep(v, soa_freeze_pallas(soa32, mat32, v.T).S), v0,
+            reps=10,
+        )
     record = {
         "n_dof": mesh.n_dof,
         "n_elements": mesh.n_elements,

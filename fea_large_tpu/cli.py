@@ -3,6 +3,9 @@
 Subcommands:
   run <task.json> [--resume] [--out DIR]   solve a task file end-to-end
   info <task.json>                         print the parsed problem summary
+  bench <task.json> [--reps N]             time repeated solves of a task
+                                           (one JSON line; the headline 1M-DOF
+                                           harness is the repo-root bench.py)
 
 Mirrors the reference's `fea_solver <task>` single-binary interface
 (SURVEY.md §4.1) with per-iteration convergence prints (§7.5) and per-step
@@ -146,6 +149,46 @@ def _cmd_run(args) -> int:
     return 0 if result.converged else 1
 
 
+def _cmd_bench(args) -> int:
+    """Benchmark a task file: warmup solve (compiles), then `--reps` timed
+    full solves; prints ONE JSON line (wall seconds per Newton step plus
+    totals) — the task-level analog of the repo-root headline bench."""
+    from fea_large_tpu.io.task import load_task
+    from fea_large_tpu.solvers.newton import NewtonSolver
+
+    task = load_task(args.task)
+    solver = NewtonSolver(
+        task.mesh, task.material, task.build_bc(), task.build_forces(),
+        task.solver,
+    )
+    res = solver.solve()  # warmup: compiles every program variant
+    if not res.converged:
+        print(json.dumps({"task": task.name, "error": "did not converge"}))
+        return 1
+    times, steps, pcg = [], 0, 0
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        res = solver.solve()
+        times.append(time.perf_counter() - t0)
+        steps = res.total_newton_iters
+        pcg = int(sum(sum(r.pcg_iters) for r in res.history))
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "task": task.name,
+                "n_dof": task.mesh.n_dof,
+                "wall_s": round(best, 4),
+                "newton_steps": steps,
+                "s_per_newton_step": round(best / max(steps, 1), 4),
+                "total_pcg_iters": pcg,
+                "reps": [round(t, 4) for t in times],
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_info(args) -> int:
     from fea_large_tpu.io.task import load_task
 
@@ -185,6 +228,11 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="print parsed task summary")
     pi.add_argument("task")
     pi.set_defaults(fn=_cmd_info)
+
+    pb = sub.add_parser("bench", help="time repeated solves of a task file")
+    pb.add_argument("task")
+    pb.add_argument("--reps", type=int, default=3, help="timed repetitions")
+    pb.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)
     return args.fn(args)

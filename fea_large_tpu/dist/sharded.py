@@ -616,6 +616,53 @@ class ShardedNewtonSolver:
         return u + st.x.astype(u.dtype), total, jnp.bool_(converged), rel
 
     # ------------------------------------------------------------------
+    def memory_report(self) -> dict:
+        """Measured per-shard device-memory budget (bytes), by category —
+        the config-5 scaling evidence (BASELINE.json:11): static tables
+        (partition maps + BC data, SoA element tables, coarse maps) plus
+        the per-solve working set (frozen tangent state, PCG vectors,
+        Jacobi blocks). Extrapolation to other sizes is linear in owned
+        nodes/elements per shard (halo terms scale as the slab surface,
+        sub-linear — so linear extrapolation is conservative)."""
+        S = self.part.n_shards
+
+        def nbytes(tree):
+            return int(
+                sum(
+                    x.nbytes
+                    for x in jax.tree.leaves(tree)
+                    if hasattr(x, "nbytes")
+                )
+            )
+
+        pdt_size = jnp.dtype(self._pcg_dtype).itemsize
+        q = self.soa.gradN32.shape[1]
+        npe = self.soa.gradN32.shape[2]
+        El = self.soa.gradN32.shape[-1]
+        No, Hl = self.part.n_owned, self.part.n_halo
+        # runtime working set (allocated during _prepare/_chunk, per shard):
+        state_b = (3 * 9 + 2) * q * El * pdt_size  # F, S, A + alpha, beta
+        pcg_b = 4 * No * 3 * pdt_size  # x, r, z, p
+        jacobi_b = No * 9 * pdt_size
+        return {
+            "n_shards": S,
+            "owned_nodes": No,
+            "halo_nodes": Hl,
+            "elements": El,
+            "static_partition_bc": nbytes(self.data) // S,
+            "static_soa_tables": nbytes(self.soa) // S,
+            "static_coarse": nbytes(self.coarse) // S if self.coarse else 0,
+            "work_frozen_state": state_b,
+            "work_pcg_vectors": pcg_b,
+            "work_jacobi_blocks": jacobi_b,
+            "total_per_shard": (
+                nbytes(self.data) // S
+                + nbytes(self.soa) // S
+                + (nbytes(self.coarse) // S if self.coarse else 0)
+                + state_b + pcg_b + jacobi_b
+            ),
+        }
+
     def zero_u(self) -> jnp.ndarray:
         z = jnp.zeros((self.part.n_shards, self.part.n_owned, 3), DTYPE)
         return jax.device_put(z, self._sharding)

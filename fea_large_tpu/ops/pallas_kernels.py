@@ -167,6 +167,201 @@ def pallas_element_apply(
     return out[:, :E]
 
 
+def _freeze_kernel(npe: int, q: int, kind: int,
+                   ue_ref, gradn_ref, lam_ref, mu_ref,
+                   F_ref, S_ref, A_ref, al_ref, be_ref):
+    """Kinematics + constitutive freeze for one element block (SURVEY.md
+    §5.1/§5.4): F = I + sum_a u_a (x) g_a; C = F^T F; then the factored
+    tangent state (S, A, alpha, beta) of the registered isotropic material
+    `kind` (0=SVK, 1=NeoHookean Ciarlet, 2=NeoHookeanVolumetric)."""
+    ue = ue_ref[:]          # [3*npe, BE]
+    g = gradn_ref[:]        # [q*npe*3, BE]
+    lam = lam_ref[0, 0]
+    mu = mu_ref[0, 0]
+    BE = ue.shape[-1]
+    one = jnp.ones((BE,), ue.dtype)
+    zero = jnp.zeros((BE,), ue.dtype)
+
+    def G(k, a, J):
+        return g[(k * npe + a) * 3 + J]
+
+    F_rows, S_rows, A_rows, al_rows, be_rows = [], [], [], [], []
+    for k in range(q):
+        F = [
+            [
+                (one if i == J else zero)
+                + sum(ue[3 * a + i] * G(k, a, J) for a in range(npe))
+                for J in range(3)
+            ]
+            for i in range(3)
+        ]
+        C = [
+            [sum(F[m][i] * F[m][j] for m in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+        if kind == 0:  # SVK: S = lam tr(E) I + 2 mu E; A = I
+            trE = 0.5 * (C[0][0] + C[1][1] + C[2][2] - 3.0)
+            S = [
+                [
+                    lam * trE * (1.0 if i == j else 0.0)
+                    + mu * (C[i][j] - (1.0 if i == j else 0.0))
+                    for j in range(3)
+                ]
+                for i in range(3)
+            ]
+            A = [[one if i == j else zero for j in range(3)] for i in range(3)]
+            alpha, beta = lam * one, 2.0 * mu * one
+        else:  # both neo-Hookean variants need C^-1 (explicit adjugate)
+            c = [[None] * 3 for _ in range(3)]
+            c[0][0] = C[1][1] * C[2][2] - C[1][2] * C[2][1]
+            c[0][1] = C[0][2] * C[2][1] - C[0][1] * C[2][2]
+            c[0][2] = C[0][1] * C[1][2] - C[0][2] * C[1][1]
+            c[1][0] = C[1][2] * C[2][0] - C[1][0] * C[2][2]
+            c[1][1] = C[0][0] * C[2][2] - C[0][2] * C[2][0]
+            c[1][2] = C[0][2] * C[1][0] - C[0][0] * C[1][2]
+            c[2][0] = C[1][0] * C[2][1] - C[1][1] * C[2][0]
+            c[2][1] = C[0][1] * C[2][0] - C[0][0] * C[2][1]
+            c[2][2] = C[0][0] * C[1][1] - C[0][1] * C[1][0]
+            detC = C[0][0] * c[0][0] + C[0][1] * c[1][0] + C[0][2] * c[2][0]
+            inv_det = 1.0 / detC
+            A = [[c[i][j] * inv_det for j in range(3)] for i in range(3)]
+            if kind == 1:  # Ciarlet: S = mu(I - Cinv) + lam lnJ Cinv
+                lnJ = 0.5 * jnp.log(detC)
+                S = [
+                    [
+                        mu * ((1.0 if i == j else 0.0) - A[i][j])
+                        + lam * lnJ * A[i][j]
+                        for j in range(3)
+                    ]
+                    for i in range(3)
+                ]
+                alpha, beta = lam * one, 2.0 * (mu - lam * lnJ)
+            else:  # volumetric split: vol = lam J (J - 1)
+                J = jnp.sqrt(detC)
+                vol = lam * J * (J - 1.0)
+                S = [
+                    [
+                        mu * ((1.0 if i == j else 0.0) - A[i][j])
+                        + vol * A[i][j]
+                        for j in range(3)
+                    ]
+                    for i in range(3)
+                ]
+                alpha, beta = lam * J * (2.0 * J - 1.0), 2.0 * (mu - vol)
+        F_rows += [F[i][j] for i in range(3) for j in range(3)]
+        S_rows += [S[i][j] for i in range(3) for j in range(3)]
+        A_rows += [A[i][j] for i in range(3) for j in range(3)]
+        al_rows.append(alpha)
+        be_rows.append(beta if hasattr(beta, "shape") else beta * one)
+
+    F_ref[:] = jnp.stack(F_rows)
+    S_ref[:] = jnp.stack(S_rows)
+    A_ref[:] = jnp.stack(A_rows)
+    al_ref[:] = jnp.stack(al_rows)
+    be_ref[:] = jnp.stack(be_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("npe", "q", "kind", "block_e"))
+def pallas_freeze(ue, gradN, lam, mu, *, npe: int, q: int, kind: int,
+                  block_e: int = 512):
+    """Batched freeze over element blocks: flattened SoA inputs
+    (ue [3*npe, E], gradN [q*npe*3, E]) -> (F, S, A [q*9, E]; alpha, beta
+    [q, E])."""
+    E = ue.shape[-1]
+    uep = _pad_e(ue, block_e)
+    gp = _pad_e(gradN, block_e)
+    Ep = uep.shape[-1]
+    grid = (Ep // block_e,)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    lam2 = jnp.reshape(lam.astype(ue.dtype), (1, 1))
+    mu2 = jnp.reshape(mu.astype(ue.dtype), (1, 1))
+    outs = pl.pallas_call(
+        functools.partial(_freeze_kernel, npe, q, kind),
+        out_shape=(
+            jax.ShapeDtypeStruct((q * 9, Ep), ue.dtype),
+            jax.ShapeDtypeStruct((q * 9, Ep), ue.dtype),
+            jax.ShapeDtypeStruct((q * 9, Ep), ue.dtype),
+            jax.ShapeDtypeStruct((q, Ep), ue.dtype),
+            jax.ShapeDtypeStruct((q, Ep), ue.dtype),
+        ),
+        grid=grid,
+        in_specs=[spec(3 * npe), spec(q * npe * 3), sspec, sspec],
+        out_specs=(spec(q * 9), spec(q * 9), spec(q * 9), spec(q), spec(q)),
+        interpret=pallas_interpret(),
+    )(uep, gp, lam2, mu2)
+    return tuple(o[:, :E] for o in outs)
+
+
+def _force_kernel(npe: int, q: int, gradn_ref, vol_ref, F_ref, S_ref, out_ref):
+    """Internal force for one element block: fe[a,i] = sum_q V (F S)_iJ
+    g_a[J] (SURVEY.md §5.5). Output rows ordered i*npe + a."""
+    g = gradn_ref[:]
+    vol = vol_ref[:]
+    Fb = F_ref[:]
+    Sb = S_ref[:]
+    BE = g.shape[-1]
+
+    def M(buf, k, i, j):
+        return buf[k * 9 + 3 * i + j]
+
+    def G(k, a, J):
+        return g[(k * npe + a) * 3 + J]
+
+    out = [[jnp.zeros((BE,), g.dtype) for _ in range(npe)] for _ in range(3)]
+    for k in range(q):
+        V = vol[k]
+        PV = [
+            [
+                sum(M(Fb, k, i, m) * M(Sb, k, m, J) for m in range(3)) * V
+                for J in range(3)
+            ]
+            for i in range(3)
+        ]
+        for i in range(3):
+            for a in range(npe):
+                out[i][a] = out[i][a] + sum(
+                    PV[i][J] * G(k, a, J) for J in range(3)
+                )
+    out_ref[:] = jnp.stack([out[i][a] for i in range(3) for a in range(npe)])
+
+
+@functools.partial(jax.jit, static_argnames=("npe", "q", "block_e"))
+def pallas_internal_force(gradN, detJxW, F, S, *, npe: int, q: int,
+                          block_e: int = 512):
+    """Batched internal force over element blocks from the frozen state;
+    returns [3*npe, E] with rows i*npe + a."""
+    E = gradN.shape[-1]
+    args = [
+        _pad_e(gradN, block_e),
+        _pad_e(detJxW, block_e),
+        _pad_e(F, block_e),
+        _pad_e(S, block_e),
+    ]
+    Ep = args[0].shape[-1]
+    grid = (Ep // block_e,)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_force_kernel, npe, q),
+        out_shape=jax.ShapeDtypeStruct((3 * npe, Ep), gradN.dtype),
+        grid=grid,
+        in_specs=[spec(q * npe * 3), spec(q), spec(q * 9), spec(q * 9)],
+        out_specs=spec(3 * npe),
+        interpret=pallas_interpret(),
+    )(*args)
+    return out[:, :E]
+
+
 # ---------------------------------------------------------------------------
 # BCSR SpMV (SURVEY.md C10: "SpMV as a Pallas kernel")
 # ---------------------------------------------------------------------------
@@ -234,6 +429,67 @@ def flatten_state(state):
         return x.reshape(q * 9, E)
 
     return flat(state.F), flat(state.S), flat(state.A), state.alpha, state.beta
+
+
+def _material_kind(material) -> int:
+    """Static material code for the freeze kernel (0=SVK, 1=NH Ciarlet,
+    2=NH volumetric-split). Mirrors ops.soa._soa_material's dispatch."""
+    from fea_large_tpu.materials.neo_hookean import (
+        NeoHookean,
+        NeoHookeanVolumetric,
+    )
+    from fea_large_tpu.materials.svk import StVenantKirchhoff
+
+    if isinstance(material, StVenantKirchhoff):
+        return 0
+    if isinstance(material, NeoHookeanVolumetric):
+        return 2
+    if isinstance(material, NeoHookean):
+        return 1
+    raise NotImplementedError(
+        f"Pallas freeze supports the registered isotropic materials; got "
+        f"{type(material).__name__}"
+    )
+
+
+def soa_freeze_pallas(p, material, u_T, block_e: int = 512):
+    """Drop-in Pallas variant of `ops.soa.soa_freeze` (same gather, fused
+    kinematics + constitutive update in one VMEM-resident kernel)."""
+    from fea_large_tpu.ops.soa import SoAState
+
+    q, npe = p.gradN.shape[0], p.gradN.shape[1]
+    E = p.gradN.shape[-1]
+    ue = u_T[:, p.conn_T]  # [3, npe, E]
+    ue_flat = ue.transpose(1, 0, 2).reshape(3 * npe, E)  # rows = 3*a + i
+    gradN_flat = p.gradN.reshape(q * npe * 3, E)
+    F, S, A, alpha, beta = pallas_freeze(
+        ue_flat, gradN_flat, material.lam, material.mu,
+        npe=npe, q=q, kind=_material_kind(material), block_e=block_e,
+    )
+    return SoAState(
+        F=F.reshape(q, 3, 3, E),
+        S=S.reshape(q, 3, 3, E),
+        A=A.reshape(q, 3, 3, E),
+        alpha=alpha,
+        beta=beta,
+    )
+
+
+def soa_internal_force_pallas(p, state, block_e: int = 512):
+    """Drop-in Pallas variant of `ops.soa.soa_internal_force` (same
+    scatter, Pallas element math); returns [3, N]."""
+    from fea_large_tpu.ops.soa import soa_scatter
+
+    q, npe = p.gradN.shape[0], p.gradN.shape[1]
+    E = p.gradN.shape[-1]
+    gradN_flat = p.gradN.reshape(q * npe * 3, E)
+    Fb = state.F.reshape(q * 9, E)
+    Sb = state.S.reshape(q * 9, E)
+    out = pallas_internal_force(
+        gradN_flat, p.detJxW, Fb, Sb, npe=npe, q=q, block_e=block_e
+    )
+    fe = [[out[i * npe + a] for a in range(npe)] for i in range(3)]
+    return soa_scatter(p, fe)
 
 
 def soa_apply_tangent_pallas(p, state, v_T, block_e: int = 512):

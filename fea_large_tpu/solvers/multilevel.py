@@ -24,6 +24,7 @@ segment-sum (P^T), one dense triangular pair (Nc ~ hundreds), one gather
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -130,6 +131,169 @@ def default_agg_size(n_nodes: int, target_coarse: int = 5000) -> int:
     return int(np.clip(n_nodes // target_coarse, 16, 4096))
 
 
+def _aggregate_adjacency(conn: np.ndarray, agg: np.ndarray, n_agg: int):
+    """Aggregate pairs (A, B) coupled by the stiffness: A != B sharing an
+    element (K[a,b] != 0 iff nodes a,b share an element). Returns a CSR-ish
+    (indptr, indices) over aggregates, self-pairs excluded."""
+    agg_e = agg[conn]  # [E, npe]
+    npe = agg_e.shape[1]
+    pa, pb = np.triu_indices(npe, k=1)
+    A = agg_e[:, pa].reshape(-1)
+    B = agg_e[:, pb].reshape(-1)
+    sel = A != B
+    A, B = A[sel], B[sel]
+    keys = np.unique(
+        np.concatenate([A * n_agg + B, B * n_agg + A])
+    )
+    rows = keys // n_agg
+    cols = keys % n_agg
+    indptr = np.zeros(n_agg + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n_agg), out=indptr[1:])
+    return indptr, cols
+
+
+def _color_square_graph(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Greedy coloring of G^2 (distance-2 coloring of the aggregate graph):
+    same-color aggregates share no common neighbor, so a single probe vector
+    can carry one basis column per same-color aggregate without mixing."""
+    n = len(indptr) - 1
+    color = np.full(n, -1, np.int64)
+    neigh = [indices[indptr[i] : indptr[i + 1]] for i in range(n)]
+    for v in range(n):
+        used = set()
+        for w in neigh[v]:
+            if color[w] >= 0:
+                used.add(int(color[w]))
+            for x in neigh[w]:
+                if color[x] >= 0:
+                    used.add(int(color[x]))
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return color
+
+
+def _soa_freeze_impl(soa, material32, u_T):
+    from fea_large_tpu.ops.soa import soa_freeze
+
+    return soa_freeze(soa, material32, u_T)
+
+
+_soa_freeze_jit = jax.jit(_soa_freeze_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("n_agg", "modes"))
+def _probe_run(soa, state0, free32, agg_j, Bn, dvec, color_node, cm,
+               *, n_agg: int, modes: int):
+    """Sequential probe sweep (lax.map) on device: for each (color, mode)
+    pair build the probe vector from the per-node tables, apply the masked
+    frozen tangent action, restrict per aggregate. Module-level jit with
+    every array an ARGUMENT (closure-captured mesh-size constants make
+    tracing/compilation pathological — solvers/newton.py module note)."""
+    from fea_large_tpu.ops.soa import soa_apply_tangent
+
+    def probe(cm1):
+        c, m = cm1[0], cm1[1]
+        col = jax.lax.dynamic_index_in_dim(Bn, m, axis=2, keepdims=False)
+        v = jnp.where(color_node == c, 1.0, 0.0)[:, None] * col
+        vm_T = (v * free32).T
+        y = soa_apply_tangent(soa, state0, vm_T).T * free32
+        t = y if modes == 3 else jnp.concatenate([y, jnp.cross(dvec, y)], 1)
+        return jax.ops.segment_sum(t, agg_j, num_segments=n_agg)
+
+    return jax.lax.map(probe, cm)
+
+
+def _device_coarse_matrix_probing(
+    soa, material32, free_mask, coords, agg, cent, n_agg, modes, conn
+):
+    """Galerkin coarse matrix Ac = P^T (M K M) P assembled ON DEVICE by
+    graph-coloring probing: one masked f32 tangent-action probe (the SAME
+    `ops.soa` matvec PCG uses, frozen at u=0) per (color of the aggregate
+    distance-2 graph, mode), restricted per aggregate and attributed to
+    columns via the precomputed neighbor map. Replaces the host sparse
+    assembly on the hot setup path: ~n_colors*modes device matvecs (tens)
+    instead of a 210M-entry host sparse product (BENCH_NOTES has the
+    measured setup progression).
+
+    Exactness: the hyperelastic tangent at u=0 IS linear elasticity (see
+    `build_coarse_space`), and the distance-2 coloring guarantees every
+    probe response block comes from exactly one excited aggregate, so this
+    equals `_host_coarse_matrix`/`_host_coarse_matrix_rbm` up to f32
+    arithmetic (guarded by tests/test_multilevel.py::
+    test_probing_coarse_matches_host).
+    """
+    N = len(agg)
+    indptr, indices = _aggregate_adjacency(conn, agg, n_agg)
+    color = _color_square_graph(indptr, indices)
+    n_colors = int(color.max()) + 1
+
+    # attribution: the probe of color c excites, as seen from aggregate B,
+    # the unique aggregate A = attr[B, c] (-1 = none). Uniqueness is the
+    # distance-2 coloring invariant: two same-color aggregates never share
+    # a neighbor.
+    attr = np.full((n_agg, n_colors), -1, np.int64)
+    attr[np.arange(n_agg), color] = np.arange(n_agg)
+    src = np.repeat(np.arange(n_agg), np.diff(indptr))  # A of each (A,B) edge
+    attr[indices, color[src]] = src
+
+    # per-node RBM basis columns B_n [N, 3, modes] (translations + e_k x d)
+    Bn = np.zeros((N, 3, modes), np.float32)
+    Bn[:, 0, 0] = Bn[:, 1, 1] = Bn[:, 2, 2] = 1.0
+    d = np.zeros((N, 3), np.float32)
+    if modes == 6:
+        d = (coords - cent[agg]).astype(np.float32)
+        Bn[:, 1, 3], Bn[:, 2, 3] = -d[:, 2], d[:, 1]
+        Bn[:, 0, 4], Bn[:, 2, 4] = d[:, 2], -d[:, 0]
+        Bn[:, 0, 5], Bn[:, 1, 5] = -d[:, 1], d[:, 0]
+    # (color, mode) id list; probe vectors are built ON DEVICE from the
+    # small per-node tables (shipping the [P, N, 3] probe stack through the
+    # tunneled host->device link would dominate the setup time)
+    cm = np.stack(
+        [
+            np.repeat(np.arange(n_colors), modes),
+            np.tile(np.arange(modes), n_colors),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    # jitted: the eager SoA freeze costs ~30 ms tunnel dispatch per unrolled
+    # op (hundreds of ops at TET10 q=4 — measured 19 s eager vs ~1 s jitted)
+    state0 = _soa_freeze_jit(soa, material32, jnp.zeros((3, N), jnp.float32))
+    Z = np.asarray(
+        _probe_run(
+            soa,
+            state0,
+            jnp.asarray(np.asarray(free_mask), jnp.float32),
+            jnp.asarray(agg, INDEX_DTYPE),
+            jnp.asarray(Bn),
+            jnp.asarray(d),
+            jnp.asarray(color[agg], INDEX_DTYPE),
+            jnp.asarray(cm),
+            n_agg=n_agg,
+            modes=modes,
+        )
+    ).reshape(n_colors, modes, n_agg, modes)
+
+    nc = modes * n_agg
+    Ac = np.zeros((nc, nc))
+    mm = np.arange(modes)
+    for c in range(n_colors):
+        Bsel = np.nonzero(attr[:, c] >= 0)[0]
+        if len(Bsel) == 0:
+            continue
+        A = attr[Bsel, c]
+        # Ac[modes*B + n, modes*A + m] = Z[c, m, B, n]
+        rows = (modes * Bsel[:, None] + mm[None, :])  # [B, n]
+        cols = (modes * A[:, None] + mm[None, :])  # [B, m]
+        Ac[rows[:, :, None], cols[:, None, :]] = np.transpose(
+            Z[c][:, Bsel, :], (1, 2, 0)
+        )
+    # probing fills (B, A) and (A, B) from different probes: symmetrize the
+    # f32 noise away so the f32 Cholesky sees an exactly symmetric matrix
+    return 0.5 * (Ac + Ac.T)
+
+
 def build_coarse_space(
     mesh,
     material,
@@ -137,6 +301,7 @@ def build_coarse_space(
     agg_size: int | None = None,
     dtype=jnp.float32,
     modes: int = 3,
+    soa=None,
 ) -> CoarseSpace:
     """Assemble + factor the coarse operator at the reference state u=0.
 
@@ -147,10 +312,16 @@ def build_coarse_space(
       Ke0[a,i,b,k] = sum_q V [lam g_a[i] g_b[k]
                               + mu (d_ik g_a.g_b + g_a[k] g_b[i])]
 
-    assembled on host (vectorized numpy + bincount: AoS [.,npe,3,npe,3]
-    element tangents pad catastrophically on TPU tiles, and this is a
-    one-time cold path - SURVEY.md §4.5), BC-masked, aggregated with P,
-    then Cholesky-factored once on device.
+    Two assembly paths:
+      * `soa` given (an `ops.soa.SoAProblem` for this mesh, f32): ON-DEVICE
+        graph-coloring probing of the masked tangent action
+        (`_device_coarse_matrix_probing`) — the production path: tens of
+        device matvecs instead of a host sparse product.
+      * `soa=None`: host scipy-sparse Galerkin product P^T (M K0 M) P
+        (`_host_k0_csr`) — the f64 oracle path, also used by the sharded
+        builder (cold path - SURVEY.md §4.5).
+    Either way the dense coarse matrix is BC-ridged and Cholesky-factored
+    once on device.
 
     `modes=6` builds the rigid-body-mode coarse basis (CoarseSpace
     docstring) with a default target of ~2500 aggregates so the dense
@@ -172,9 +343,8 @@ def build_coarse_space(
     free_mask = np.asarray(bc.free_mask)
     dvec = None
     buckets = None
-    if modes == 3:
-        Ac = _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask)
-    else:
+    cent = None
+    if modes == 6:
         cnt = np.bincount(agg, minlength=n_agg).astype(float)
         cent = np.stack(
             [
@@ -183,13 +353,24 @@ def build_coarse_space(
             ],
             axis=1,
         )
-        Ac = _host_coarse_matrix_rbm(
-            mesh, lam, mu, agg, cent, n_agg, free_mask
-        )
         dvec = jnp.asarray(coords - cent[agg], jnp.float32)
         from fea_large_tpu.ops.soa import ScatterBuckets
 
         buckets = ScatterBuckets.build(agg[None, :], n_agg)
+    if soa is not None:
+        material32 = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32), material
+        )
+        Ac = _device_coarse_matrix_probing(
+            soa, material32, bc.free_mask, coords, agg, cent, n_agg, modes,
+            mesh.conn_host,
+        )
+    elif modes == 3:
+        Ac = _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask)
+    else:
+        Ac = _host_coarse_matrix_rbm(
+            mesh, lam, mu, agg, cent, n_agg, free_mask
+        )
 
     # fully-fixed aggregate components have empty rows: unit diagonal (plus
     # a tiny ridge so f32 Cholesky stays robust)
@@ -278,126 +459,101 @@ def _coarse_entry_chunks(mesh, lam, mu, agg, free_mask, chunk=65536):
         yield slot_agg, blk, pair_valid
 
 
-def _element_slots(agg_e):
-    """Local aggregate slots per element: (slot_agg [e, nslots],
-    slot_of_a [e, npe], valid [e, nslots])."""
-    e = agg_e.shape[0]
-    sidx = np.argsort(agg_e, axis=1, kind="stable")
-    sa = np.take_along_axis(agg_e, sidx, 1)
-    newgrp = np.ones_like(sa, bool)
-    newgrp[:, 1:] = sa[:, 1:] != sa[:, :-1]
-    slot_sorted = np.cumsum(newgrp, axis=1) - 1
-    nslots = int(slot_sorted.max()) + 1
-    slot_of_a = np.empty_like(slot_sorted)
-    np.put_along_axis(slot_of_a, sidx, slot_sorted, 1)
-    rows = np.arange(e)
-    slot_agg = np.zeros((e, nslots), np.int64)
-    valid = np.zeros((e, nslots), bool)
-    slot_agg[rows[:, None], slot_of_a] = agg_e
-    valid[rows[:, None], slot_of_a] = True
-    return slot_agg, slot_of_a, valid
+def _host_k0_csr(mesh, lam, mu, free_mask, chunk=32768):
+    """Masked global linear-elastic stiffness at u=0 as a scipy CSR matrix
+    (f64 data, int32 indices). One-time cold path feeding the Galerkin
+    coarse products below; scipy's C++ COO->CSR duplicate-sum replaces the
+    earlier per-chunk dense-bincount accumulation (measured 475 s -> tens
+    of seconds at 1M DOF — the dominant setup cost, BENCH_NOTES.md)."""
+    import scipy.sparse as sp
 
-
-def _coarse_entry_chunks_rbm(mesh, lam, mu, agg, cent, free_mask, chunk=32768):
-    """Yield (slot_agg [e, nslots], blk [e, s, t, 6, 6], pair_valid) chunks
-    of the aggregated masked linear-elastic tangent at u=0 for the
-    RIGID-BODY-MODE coarse basis.
-
-    Per (element, aggregate slot, mode m) the masked gradient moment is
-      W^m[i,J] = sum_{a in slot} mask[a,i] B_a[i,m] g_a[J],
-      B_a = [I | cross-matrix(d_a)],  d_a = x_a - centroid(agg),
-    and the Galerkin block follows from the factored elastic tangent:
-      blk[m,n] = sum_q V [ lam tr(W^m) tr(W^n) + mu W^m : W^n
-                         + mu W^m : (W^n)^T ].
-    (For translations this reduces exactly to `_coarse_entry_chunks`.)
-    """
     elem = mesh.element
     coords, conn = mesh.coords_host, mesh.conn_host
     dN = np.asarray(elem.shape_grad)  # [q, npe, 3]
-    wq = np.asarray(elem.quad_weights)
+    w = np.asarray(elem.quad_weights)
     E, npe = conn.shape
-    nq = dN.shape[0]
-    for s0 in range(0, E, chunk):
-        c = conn[s0 : s0 + chunk]
+    n3 = 3 * mesh.n_nodes
+    eye = np.eye(3)
+    rows_l, cols_l, vals_l = [], [], []
+    for s in range(0, E, chunk):
+        c = conn[s : s + chunk]
         e = len(c)
         Xe = coords[c]
         J = np.einsum("eai,qaj->eqij", Xe, dN)
         detJ = np.linalg.det(J)
         g = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [e,q,npe,3]
-        V = detJ * wq[None, :]  # [e, q]
-        m = free_mask[c]  # [e, npe, 3]
-        agg_e = agg[c]
-        slot_agg, slot_of_a, valid = _element_slots(agg_e)
-        nslots = slot_agg.shape[1]
-        d = Xe - cent[agg_e]  # [e, npe, 3]
-        rows = np.arange(e)
-
-        W = np.zeros((e, nslots, nq, 6, 3, 3))
-        for a in range(npe):
-            da = d[:, a]
-            B = np.zeros((e, 3, 6))
-            B[:, 0, 0] = B[:, 1, 1] = B[:, 2, 2] = 1.0
-            # columns 3+k = e_k x d
-            B[:, 1, 3] = -da[:, 2]
-            B[:, 2, 3] = da[:, 1]
-            B[:, 0, 4] = da[:, 2]
-            B[:, 2, 4] = -da[:, 0]
-            B[:, 0, 5] = -da[:, 1]
-            B[:, 1, 5] = da[:, 0]
-            A1 = m[:, a, :, None] * B  # [e, i, m], BC-masked
-            contrib = np.einsum("eim,eqJ->eqmiJ", A1, g[:, :, a])
-            W[rows, slot_of_a[:, a]] += contrib
-        Vw = W * V[:, None, :, None, None, None]
-        tr = np.einsum("esqmii->esqm", W)
-        Vtr = np.einsum("esqmii->esqm", Vw)
-        blk = (
-            lam * np.einsum("esqm,etqn->estmn", Vtr, tr, optimize=True)
-            + mu * np.einsum("esqmiJ,etqniJ->estmn", Vw, W, optimize=True)
-            + mu * np.einsum("esqmiJ,etqnJi->estmn", Vw, W, optimize=True)
+        V = detJ * w[None, :]
+        gV = g * V[:, :, None, None]
+        # linear-elastic element tangent at u=0 (both shipped hyperelastic
+        # tangents reduce to this — build_coarse_space docstring)
+        gg = np.einsum("eqai,eqbi->eab", gV, g)
+        Ke = (
+            lam * np.einsum("eqai,eqbk->eaibk", gV, g)
+            + mu * np.einsum("eab,ik->eaibk", gg, eye)
+            + mu * np.einsum("eqak,eqbi->eaibk", gV, g)
         )
-        pair_valid = valid[:, :, None] & valid[:, None, :]
-        blk = blk * pair_valid[..., None, None]
-        yield slot_agg, blk, pair_valid
+        m = free_mask[c]  # [e, npe, 3]
+        Ke *= m[:, :, :, None, None] * m[:, None, None, :, :]
+        dof = (3 * c[:, :, None] + np.arange(3)).reshape(e, 3 * npe)
+        rows_l.append(
+            np.broadcast_to(dof[:, :, None], (e, 3 * npe, 3 * npe))
+            .reshape(-1).astype(np.int32)
+        )
+        cols_l.append(
+            np.broadcast_to(dof[:, None, :], (e, 3 * npe, 3 * npe))
+            .reshape(-1).astype(np.int32)
+        )
+        vals_l.append(Ke.reshape(-1))
+    K = sp.coo_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(n3, n3),
+    ).tocsr()
+    return K
+
+
+def _prolongator_csr(coords, agg, n_agg, modes, cent=None):
+    """Sparse prolongator P [3N, modes*Nc]: per node the 3 x modes block
+    B_n = I (modes=3) or [I | cross-matrix(d_n)] (modes=6, d_n = x_n -
+    centroid — the rigid-body-mode basis, CoarseSpace docstring)."""
+    import scipy.sparse as sp
+
+    N = len(agg)
+    node = np.arange(N)
+    rows = [3 * node, 3 * node + 1, 3 * node + 2]
+    cols = [modes * agg, modes * agg + 1, modes * agg + 2]
+    vals = [np.ones(N), np.ones(N), np.ones(N)]
+    if modes == 6:
+        d = coords - cent[agg]
+        # (e_k x d)_i entries: B[1,3]=-dz B[2,3]=dy B[0,4]=dz B[2,4]=-dx
+        # B[0,5]=-dy B[1,5]=dx
+        for i, m, v in (
+            (1, 3, -d[:, 2]), (2, 3, d[:, 1]),
+            (0, 4, d[:, 2]), (2, 4, -d[:, 0]),
+            (0, 5, -d[:, 1]), (1, 5, d[:, 0]),
+        ):
+            rows.append(3 * node + i)
+            cols.append(6 * agg + m)
+            vals.append(v)
+    return sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(3 * N, modes * n_agg),
+    ).tocsr()
 
 
 def _host_coarse_matrix_rbm(mesh, lam, mu, agg, cent, n_agg, free_mask):
-    """Dense [6Nc, 6Nc] Galerkin coarse matrix for the RBM basis (numpy)."""
-    nc6 = 6 * n_agg
-    ii = np.arange(6)
-    Ac = np.zeros(nc6 * nc6)
-    for slot_agg, blk, _ in _coarse_entry_chunks_rbm(
-        mesh, lam, mu, agg, cent, free_mask
-    ):
-        cdofs = 6 * slot_agg  # [e, nslots]
-        keys = (
-            (cdofs[:, :, None, None, None] + ii[None, None, None, :, None]) * nc6
-            + cdofs[:, None, :, None, None]
-            + ii[None, None, None, None, :]
-        )
-        Ac += np.bincount(
-            keys.reshape(-1), weights=blk.reshape(-1), minlength=nc6 * nc6
-        )
-    return Ac.reshape(nc6, nc6)
+    """Dense [6Nc, 6Nc] Galerkin coarse matrix P^T (M K0 M) P for the RBM
+    basis, via sparse products (scipy C++ — see `_host_k0_csr`)."""
+    K = _host_k0_csr(mesh, lam, mu, free_mask)
+    P = _prolongator_csr(mesh.coords_host, agg, n_agg, 6, cent)
+    return np.asarray((P.T @ (K @ P)).todense())
 
 
 def _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask, chunk=65536):
-    """Dense [3Nc, 3Nc] Galerkin coarse matrix P^T M K0 M P (numpy)."""
-    nc3 = 3 * n_agg
-    ii = np.arange(3)
-    Ac = np.zeros(nc3 * nc3)
-    for slot_agg, blk, _ in _coarse_entry_chunks(
-        mesh, lam, mu, agg, free_mask, chunk
-    ):
-        cdofs = 3 * slot_agg  # [e, nslots]
-        keys = (
-            (cdofs[:, :, None, None, None] + ii[None, None, None, :, None]) * nc3
-            + cdofs[:, None, :, None, None]
-            + ii[None, None, None, None, :]
-        )
-        Ac += np.bincount(
-            keys.reshape(-1), weights=blk.reshape(-1), minlength=nc3 * nc3
-        )
-    return Ac.reshape(nc3, nc3)
+    """Dense [3Nc, 3Nc] Galerkin coarse matrix P^T (M K0 M) P (sparse
+    products — see `_host_k0_csr`)."""
+    K = _host_k0_csr(mesh, lam, mu, free_mask, chunk=chunk)
+    P = _prolongator_csr(mesh.coords_host, agg, n_agg, 3)
+    return np.asarray((P.T @ (K @ P)).todense())
 
 
 def _host_coarse_matrix_reference(mesh, lam, mu, agg, n_agg, free_mask, chunk=8192):

@@ -90,6 +90,13 @@ class SolverOptions:
     #: the root), late ones tightly; cuts total PCG work ~2-3x per solve
     #: without changing the converged solution (inexact-Newton theory).
     forcing: str = "fixed"
+    #: run the f32 element hot ops (freeze + per-iteration tangent action)
+    #: as Pallas TPU kernels (ops/pallas_kernels.py; BASELINE.json:5
+    #: "batched dense Pallas kernels over element blocks") instead of the
+    #: XLA-fused SoA path. Identical math — tests assert agreement; the
+    #: default is whichever measures faster in-loop (BENCH_NOTES.md).
+    #: Mixed path only (Pallas is f32-only on this platform, SURVEY.md §9).
+    pallas: bool = False
     #: "f64" — everything in f64 (the parity path, BASELINE.json:5).
     #: "mixed" — f64 residuals/updates + f32 tangent/PCG (SURVEY.md §9
     #: risk 2/5): the linear solve is a Newton DIRECTION, so f32 error there
@@ -210,10 +217,17 @@ def _residual_soa_fn(u, scale, soa64, material, bc, f_ext):
     return r, jnp.linalg.norm(r)
 
 
-def _mixed_matvec(soa, state, free32_T, v):
-    """Masked tangent action in f32 SoA layout; v [N, 3]."""
+def _mixed_matvec(soa, state, free32_T, v, use_pallas=False):
+    """Masked tangent action in f32 SoA layout; v [N, 3]. `use_pallas`
+    (static) selects the Pallas element-block kernel over the XLA SoA
+    path — same math, benchmarked head-to-head in BENCH_NOTES.md."""
     vm_T = v.T * free32_T
-    y_T = soa_apply_tangent(soa, state, vm_T) * free32_T
+    if use_pallas:
+        from fea_large_tpu.ops.pallas_kernels import soa_apply_tangent_pallas
+
+        y_T = soa_apply_tangent_pallas(soa, state, vm_T) * free32_T
+    else:
+        y_T = soa_apply_tangent(soa, state, vm_T) * free32_T
     return y_T.T + (v - vm_T.T)
 
 
@@ -233,20 +247,27 @@ def _mixed_precond(inv_blocks, free32, coarse):
 
 def _mixed_prepare_fn(
     u, scale, soa64, soa, material, material32, bc, f_ext, pcg_tol, coarse,
-    x0=None,
+    x0=None, use_pallas=False,
 ):
     """Phase 1 of the mixed-precision Newton step: f64 residual (SoA element
     pass), f32 frozen tangent state, block-Jacobi blocks, PCG init. `x0`
     restarts the Krylov recurrence from a previous iterate (breakdown
-    recovery — see `_pcg_with_restart`)."""
+    recovery — see `_pcg_with_restart`). `use_pallas` (static) runs the f32
+    freeze and tangent action as Pallas element-block kernels; the f64
+    residual stays XLA (Pallas is f32-only on this platform)."""
     r64, _ = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
     u32_T = u.astype(jnp.float32).T  # [3, N]
     free32 = bc.free_mask.astype(jnp.float32)
-    state = soa_freeze(soa, material32, u32_T)
+    if use_pallas:
+        from fea_large_tpu.ops.pallas_kernels import soa_freeze_pallas
+
+        state = soa_freeze_pallas(soa, material32, u32_T)
+    else:
+        state = soa_freeze(soa, material32, u32_T)
     diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
     inv_blocks = jacobi_inverse_blocks(diag, free32)
     pcg_state = pcg_init(
-        lambda v: _mixed_matvec(soa, state, free32.T, v),
+        lambda v: _mixed_matvec(soa, state, free32.T, v, use_pallas),
         r64.astype(jnp.float32),
         preconditioner=_mixed_precond(inv_blocks, free32, coarse),
         tol=pcg_tol,
@@ -255,12 +276,13 @@ def _mixed_prepare_fn(
     return pcg_state, state, inv_blocks
 
 
-def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters):
+def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters,
+                    use_pallas=False):
     """Phase 2 (repeated): a bounded chunk of CG iterations. Bounded device
     executions keep each call under backend execution limits; the Krylov
     recurrence continues exactly across chunks (PCGState)."""
     return pcg_chunk(
-        lambda v: _mixed_matvec(soa, state, free32.T, v),
+        lambda v: _mixed_matvec(soa, state, free32.T, v, use_pallas),
         pcg_state,
         preconditioner=_mixed_precond(inv_blocks, free32, coarse),
         maxiter=n_iters,
@@ -272,8 +294,10 @@ _residual_soa_jit = jax.jit(_residual_soa_fn)
 _step_direct_jit = jax.jit(_step_direct_fn)
 _step_matfree_jit = jax.jit(_step_matfree_fn)
 _step_bcsr_jit = jax.jit(_step_bcsr_fn)
-_mixed_prepare_jit = jax.jit(_mixed_prepare_fn)
-_mixed_chunk_jit = jax.jit(_mixed_chunk_fn, static_argnames="n_iters")
+_mixed_prepare_jit = jax.jit(_mixed_prepare_fn, static_argnames="use_pallas")
+_mixed_chunk_jit = jax.jit(
+    _mixed_chunk_fn, static_argnames=("n_iters", "use_pallas")
+)
 
 
 class NewtonSolver:
@@ -298,6 +322,11 @@ class NewtonSolver:
         self.options = options or SolverOptions()
         if self.options.linear not in ("direct", "pcg", "pcg_bcsr"):
             raise ValueError(f"unknown linear solver {self.options.linear!r}")
+        if self.options.pallas and self.options.precision != "mixed":
+            raise ValueError(
+                "pallas=True requires precision='mixed' (Pallas kernels are "
+                "f32-only on this platform — SURVEY.md §9 risk 5)"
+            )
         self.element = mesh.element
         self.f_ext = (
             jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype) if f_ext is None else f_ext
@@ -329,6 +358,7 @@ class NewtonSolver:
                 self._coarse = build_coarse_space(
                     mesh, material, bc, agg_size=self.options.agg_size,
                     modes=self.options.coarse_modes,
+                    soa=self._soa,  # device probing assembly (multilevel.py)
                 )
             elif self.options.preconditioner == "three_level":
                 from fea_large_tpu.solvers.multilevel import build_multilevel_space
@@ -404,7 +434,7 @@ class NewtonSolver:
         st, state, inv_blocks = _mixed_prepare_jit(
             u, scale, self._soa64, self._soa, self.material,
             self._material32, self.bc, self.f_ext, tol,
-            self._coarse, None,
+            self._coarse, None, use_pallas=self.options.pallas,
         )
         chunk = self.options.pcg_chunk
         maxiter = self.options.pcg_maxiter
@@ -430,12 +460,13 @@ class NewtonSolver:
                 st, state, inv_blocks = _mixed_prepare_jit(
                     u, scale, self._soa64, self._soa, self.material,
                     self._material32, self.bc, self.f_ext, tol,
-                    self._coarse, st.x,
+                    self._coarse, st.x, use_pallas=self.options.pallas,
                 )
                 continue
             n = min(chunk, maxiter - k)
             st = _mixed_chunk_jit(
-                st, self._soa, state, inv_blocks, free32, self._coarse, n
+                st, self._soa, state, inv_blocks, free32, self._coarse, n,
+                use_pallas=self.options.pallas,
             )
         converged = bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)
         total = jnp.int32(done_iters) + st.k
@@ -452,11 +483,11 @@ class NewtonSolver:
             st, state, inv_blocks = _mixed_prepare_fn(
                 u, scale, self._soa64, self._soa, self.material,
                 self._material32, self.bc, self.f_ext, self._pcg_tol32,
-                self._coarse,
+                self._coarse, use_pallas=self.options.pallas,
             )
             st = _mixed_chunk_fn(
                 st, self._soa, state, inv_blocks, free32, self._coarse,
-                self.options.pcg_chunk,
+                self.options.pcg_chunk, use_pallas=self.options.pallas,
             )
             return u + st.x.astype(u.dtype), st.k, st.ok, jnp.sqrt(st.rr)
         return self._step(u, scale)

@@ -161,6 +161,41 @@ def test_cli_run_and_resume(tmp_path):
     assert (out / "tiny_final.npz").exists()
 
 
+def test_cli_bench_subcommand(tmp_path):
+    """`bench` times repeated solves of a task file and prints one JSON
+    line (the task-level analog of the repo-root headline bench)."""
+    task = {
+        "mesh": {"box": {"nx": 2, "ny": 2, "nz": 2}},
+        "element_type": "tet4",
+        "material": {"model": "svk", "E": 2.0, "nu": 0.3},
+        "loading": {
+            "n_steps": 1,
+            "dirichlet": [
+                {"set": "zmin", "components": "xyz", "value": 0.0},
+                {"set": "zmax", "components": "z", "value": 0.1},
+            ],
+        },
+        "solver": {"linear": "direct"},
+        "output": {"dir": str(tmp_path / "out")},
+    }
+    task_file = tmp_path / "tiny.json"
+    task_file.write_text(json.dumps(task))
+    import os
+
+    env = {**os.environ, "FEA_PLATFORM": "cpu"}
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "fea_large_tpu", "bench", str(task_file),
+            "--reps", "1",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["task"] == "tiny" and out["newton_steps"] >= 1
+    assert out["s_per_newton_step"] > 0
+
+
 def test_sexp_task_equivalent_to_json(tmp_path):
     """The reference's native S-expression task format loads to the same
     problem as the JSON schema (SURVEY.md C14)."""

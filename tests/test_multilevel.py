@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from fea_large_tpu import NeoHookean
@@ -84,6 +85,44 @@ def test_rbm_coarse_matrix_matches_direct_galerkin(rng):
         mesh, 1.3, 0.7, agg, cent, n_agg, np.asarray(bc.free_mask)
     )
     np.testing.assert_allclose(Ac_fact, Ac_direct, rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("modes", [3, 6])
+def test_probing_coarse_matches_host(modes, rng):
+    """The on-device graph-coloring probing assembly must reproduce the
+    host sparse Galerkin product to f32 accuracy (the distance-2 coloring
+    attribution is exact; only the arithmetic dtype differs)."""
+    from fea_large_tpu.ops.soa import SoAProblem
+    from fea_large_tpu.solvers.multilevel import (
+        _device_coarse_matrix_probing,
+        _host_coarse_matrix,
+        _host_coarse_matrix_rbm,
+    )
+
+    mesh = box_mesh(4, 4, 4, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.3), jnp.asarray(0.7))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("xmax", "x", 0.1).build()
+    coords = mesh.coords_host
+    agg = aggregate_nodes(coords, agg_size=16)
+    n_agg = int(agg.max()) + 1
+    cnt = np.bincount(agg, minlength=n_agg).astype(float)
+    cent = np.stack(
+        [np.bincount(agg, weights=coords[:, d], minlength=n_agg) / cnt
+         for d in range(3)], axis=1,
+    )
+    m = np.asarray(bc.free_mask)
+    if modes == 3:
+        Ac_host = _host_coarse_matrix(mesh, 1.3, 0.7, agg, n_agg, m)
+    else:
+        Ac_host = _host_coarse_matrix_rbm(mesh, 1.3, 0.7, agg, cent, n_agg, m)
+    soa = SoAProblem.build(mesh, jnp.float32)
+    mat32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), mat)
+    Ac_dev = _device_coarse_matrix_probing(
+        soa, mat32, bc.free_mask, coords, agg, cent, n_agg, modes,
+        mesh.conn_host,
+    )
+    scale = np.abs(Ac_host).max()
+    np.testing.assert_allclose(Ac_dev, Ac_host, rtol=0, atol=2e-5 * scale)
 
 
 def test_rbm_coarse_cuts_iterations():

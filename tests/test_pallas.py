@@ -47,6 +47,94 @@ def test_pallas_apply_nondivisible_block(rng):
     )
 
 
+@pytest.mark.parametrize(
+    "element_type,mat_cls",
+    [
+        ("tet4", StVenantKirchhoff),
+        ("tet10", NeoHookean),
+        ("tet4", "volumetric"),
+    ],
+)
+def test_pallas_freeze_matches_soa(element_type, mat_cls, rng):
+    """Fused Pallas kinematics+constitutive freeze == XLA SoA freeze for
+    every registered material kind."""
+    from fea_large_tpu.materials.neo_hookean import NeoHookeanVolumetric
+    from fea_large_tpu.ops.pallas_kernels import soa_freeze_pallas
+
+    if mat_cls == "volumetric":
+        mat_cls = NeoHookeanVolumetric
+    mesh = box_mesh(2, 2, 2, element_type=element_type)
+    mat = mat_cls(jnp.asarray(1.1, jnp.float32), jnp.asarray(0.8, jnp.float32))
+    soa = SoAProblem.build(mesh, jnp.float32)
+    u_T = jnp.asarray(
+        0.03 * rng.standard_normal((mesh.n_nodes, 3)), jnp.float32
+    ).T
+    ref = soa_freeze(soa, mat, u_T)
+    pal = soa_freeze_pallas(soa, mat, u_T, block_e=64)
+    for name in ("F", "S", "A", "alpha", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pal, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=3e-6, atol=3e-6, err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("element_type", ["tet4", "tet10"])
+def test_pallas_internal_force_matches_soa(element_type, rng):
+    from fea_large_tpu.ops.pallas_kernels import soa_internal_force_pallas
+    from fea_large_tpu.ops.soa import soa_internal_force
+
+    mesh = box_mesh(2, 2, 2, element_type=element_type)
+    mat = NeoHookean(jnp.asarray(1.1, jnp.float32), jnp.asarray(0.8, jnp.float32))
+    soa = SoAProblem.build(mesh, jnp.float32)
+    u_T = jnp.asarray(
+        0.03 * rng.standard_normal((mesh.n_nodes, 3)), jnp.float32
+    ).T
+    state = soa_freeze(soa, mat, u_T)
+    f_ref = soa_internal_force(soa, state)
+    f_pal = soa_internal_force_pallas(soa, state, block_e=64)
+    np.testing.assert_allclose(
+        np.asarray(f_pal), np.asarray(f_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_solver_end_to_end(rng):
+    """NewtonSolver(pallas=True) reaches the same solution as the XLA SoA
+    mixed path (the production wiring, VERDICT round-1 item 2)."""
+    from fea_large_tpu.bc import DirichletBuilder
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+    mesh = box_mesh(2, 2, 2, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.08).build()
+    kw = dict(
+        linear="pcg", precision="mixed", preconditioner="jacobi",
+        newton_rtol=1e-9, pcg_tol=1e-6, pcg_maxiter=400,
+    )
+    res_ref = NewtonSolver(mesh, mat, bc, options=SolverOptions(**kw)).solve()
+    res_pal = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(pallas=True, **kw)
+    ).solve()
+    assert res_ref.converged and res_pal.converged
+    np.testing.assert_allclose(
+        np.asarray(res_pal.u), np.asarray(res_ref.u), rtol=0, atol=5e-8
+    )
+
+
+def test_pallas_requires_mixed():
+    from fea_large_tpu.bc import DirichletBuilder
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+    mesh = box_mesh(1, 1, 1, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").build()
+    with pytest.raises(ValueError, match="pallas"):
+        NewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(pallas=True, precision="f64"),
+        )
+
+
 def test_pallas_bcsr_spmv_matches_xla(rng):
     """Pallas BCSR SpMV == BCSRMatrix.matvec (SURVEY.md C10)."""
     from fea_large_tpu.assembly.bcsr import BCSRStructure, assemble_bcsr
