@@ -29,10 +29,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fea_large_tpu.config import pallas_interpret
+
+# Block-index maps must return i32: a Python literal 0 lowers to i64 under
+# jax_enable_x64 and Mosaic rejects the mixed (i64, i32) index tuple
+# ("failed to legalize operation 'func.return'") — verified on the real TPU.
+_I0 = np.int32(0)
 
 
 def _apply_kernel(npe: int, q: int,
@@ -144,7 +150,7 @@ def pallas_element_apply(
 
     def spec(rows):
         return pl.BlockSpec(
-            (rows, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+            (rows, block_e), lambda i: (_I0, i), memory_space=pltpu.VMEM
         )
 
     out = pl.pallas_call(
@@ -275,10 +281,10 @@ def pallas_freeze(ue, gradN, lam, mu, *, npe: int, q: int, kind: int,
 
     def spec(rows):
         return pl.BlockSpec(
-            (rows, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+            (rows, block_e), lambda i: (_I0, i), memory_space=pltpu.VMEM
         )
 
-    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((1, 1), lambda i: (_I0, _I0), memory_space=pltpu.SMEM)
     lam2 = jnp.reshape(lam.astype(ue.dtype), (1, 1))
     mu2 = jnp.reshape(mu.astype(ue.dtype), (1, 1))
     outs = pl.pallas_call(
@@ -348,7 +354,7 @@ def pallas_internal_force(gradN, detJxW, F, S, *, npe: int, q: int,
 
     def spec(rows):
         return pl.BlockSpec(
-            (rows, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+            (rows, block_e), lambda i: (_I0, i), memory_space=pltpu.VMEM
         )
 
     out = pl.pallas_call(
@@ -386,7 +392,7 @@ def _pallas_block_matvec(data9, xg, block_k: int = 2048):
 
     def spec(rows):
         return pl.BlockSpec(
-            (rows, block_k), lambda i: (0, i), memory_space=pltpu.VMEM
+            (rows, block_k), lambda i: (_I0, i), memory_space=pltpu.VMEM
         )
 
     out = pl.pallas_call(
