@@ -42,33 +42,8 @@ def loop_time(body, v0, reps=20):
     return (time.perf_counter() - t1) / reps
 
 
-def renumber(mesh: Mesh, node_perm: np.ndarray) -> Mesh:
-    """Renumber nodes by `node_perm` (new id of old node i = node_perm[i])
-    and sort elements by their minimum new node id."""
-    coords = np.empty_like(mesh.coords_host)
-    coords[node_perm] = mesh.coords_host
-    conn = node_perm[mesh.conn_host]
-    conn = conn[np.argsort(conn.min(axis=1), kind="stable")]
-    return Mesh.create(coords, conn, mesh.element_type)
-
-
-def rcm_perm(mesh: Mesh) -> np.ndarray:
-    import scipy.sparse as sp
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-    conn = mesh.conn_host
-    e = np.repeat(np.arange(len(conn)), conn.shape[1])
-    n = conn.reshape(-1)
-    # node-node adjacency through shared elements (two-hop via the
-    # node-element incidence — exact element-graph adjacency)
-    inc = sp.coo_matrix(
-        (np.ones(len(n)), (n, e)), shape=(mesh.n_nodes, len(conn))
-    ).tocsr()
-    adj = (inc @ inc.T).tocsr()
-    order = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
-    perm = np.empty(mesh.n_nodes, np.int64)
-    perm[order] = np.arange(mesh.n_nodes)
-    return perm
+from fea_large_tpu.mesh.reorder import renumber_nodes as renumber
+from fea_large_tpu.mesh.reorder import rcm_permutation as rcm_perm
 
 
 def time_matvec(mesh: Mesh) -> float:

@@ -8,7 +8,8 @@ explicit argument through the stack — no global flags.
 
 Schema (JSON):
 {
-  "mesh": {"file": "beam.msh"}                      # or {"box": {...}}
+  "mesh": {"file": "beam.msh",                      # or {"box": {...}}
+           "reorder": "rcm"},                       # optional: RCM renumber
   "element_type": "tet4" | "tet10",
   "quadrature": null | 1 | 4 | 5,                    # survey ambiguity A2
   "material": {"model": "svk"|"neo_hookean",
@@ -105,12 +106,21 @@ def _build_mesh(spec: dict, element_type: str, base: pathlib.Path) -> Mesh:
         from fea_large_tpu.mesh.generators import box_mesh
 
         kw = dict(spec["box"])
-        return box_mesh(element_type=element_type, **kw)
-    if "file" in spec:
+        mesh = box_mesh(element_type=element_type, **kw)
+    elif "file" in spec:
         from fea_large_tpu.io.meshio import load_mesh_file
 
-        return load_mesh_file(base / spec["file"], element_type=element_type)
-    raise ValueError("mesh spec needs 'box' or 'file'")
+        mesh = load_mesh_file(base / spec["file"], element_type=element_type)
+    else:
+        raise ValueError("mesh spec needs 'box' or 'file'")
+    reorder = spec.get("reorder")
+    if reorder:
+        if reorder != "rcm":
+            raise ValueError(f"unknown mesh reorder {reorder!r} (only 'rcm')")
+        from fea_large_tpu.mesh.reorder import reorder_rcm
+
+        mesh = reorder_rcm(mesh)
+    return mesh
 
 
 def _parse(data: dict, base: pathlib.Path, name: str) -> Task:

@@ -66,3 +66,41 @@ def test_mesh_is_pytree():
         return mesh.coords.sum()
 
     f(m)  # must be jittable as an argument
+
+
+def test_rcm_reorder_preserves_solution():
+    """RCM renumbering (mesh/reorder.py; task option `mesh.reorder`) is a
+    pure relabeling: the renumbered solve must produce the same nodal
+    displacements up to the permutation, and node sets must follow."""
+    import jax.numpy as jnp
+
+    from fea_large_tpu import NeoHookean
+    from fea_large_tpu.bc import DirichletBuilder
+    from fea_large_tpu.mesh.reorder import rcm_permutation, renumber_nodes
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+    mesh = box_mesh(2, 2, 2, element_type="tet10")
+    perm = rcm_permutation(mesh)
+    rmesh = renumber_nodes(mesh, perm)
+    assert rmesh.n_nodes == mesh.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(rmesh.coords)[perm], np.asarray(mesh.coords)
+    )
+    for k, ids in mesh.node_sets.items():
+        assert np.array_equal(np.sort(perm[ids]), rmesh.node_sets[k])
+
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    opts = SolverOptions(linear="direct", newton_rtol=1e-12)
+
+    def solve(m):
+        bc = (
+            DirichletBuilder(m).fix("zmin").prescribe("zmax", "z", -0.08).build()
+        )
+        res = NewtonSolver(m, mat, bc, options=opts).solve()
+        assert res.converged
+        return np.asarray(res.u)
+
+    u = solve(mesh)
+    ur = solve(rmesh)
+    scale = np.abs(u).max()
+    np.testing.assert_allclose(ur[perm], u, rtol=0, atol=1e-11 * scale)
