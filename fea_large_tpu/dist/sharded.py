@@ -580,21 +580,31 @@ class ShardedNewtonSolver:
         tol = jnp.asarray(
             opts.pcg_tol if lin_tol is None else lin_tol, self._pcg_dtype
         )
+        import math
+
         x0 = jnp.zeros_like(u)
         st, state, inv_blocks = self._prepare(
             self.data, self.soa, self.coarse, u, scale_arr, tol, x0
         )
-        bnorm = float(st.stop) / float(tol)  # pcg_init: stop = tol * ||b||
         done_iters = 0
         restarts = 0
+        bnorm = None
         while True:
-            k = done_iters + int(st.k)
-            rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
-            if (bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)) or (
+            # ONE batched device->host fetch per chunk (each blocking
+            # float() costs a ~30 ms tunnel round trip — BENCH_NOTES.md)
+            st_k, st_rr, st_ok, st_stop = jax.device_get(
+                (st.k, st.rr, st.ok, st.stop)
+            )
+            if bnorm is None:  # pcg_init: stop = tol * ||b||
+                bnorm = float(st_stop) / float(tol)
+            k = done_iters + int(st_k)
+            rnorm = math.sqrt(float(st_rr))
+            rel = rnorm / max(bnorm, 1e-300)
+            if (bool(st_ok) and rnorm <= float(st_stop)) or (
                 k >= opts.pcg_maxiter
             ):
                 break
-            if not bool(st.ok):
+            if not bool(st_ok):
                 # rounding-level breakdown -> restart; early breakdown at
                 # rel ~ O(1) -> genuinely indefinite, leave to bisection
                 # (see solvers/newton.py::_step_mixed)
@@ -610,9 +620,8 @@ class ShardedNewtonSolver:
             st = self._chunk(
                 self.data, self.soa, self.coarse, st, state, inv_blocks
             )
-        converged = bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)
+        converged = bool(st_ok) and rnorm <= float(st_stop)
         total = jnp.int32(done_iters) + st.k
-        rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
         return u + st.x.astype(u.dtype), total, jnp.bool_(converged), rel
 
     # ------------------------------------------------------------------

@@ -247,15 +247,19 @@ def _mixed_precond(inv_blocks, free32, coarse):
 
 def _mixed_prepare_fn(
     u, scale, soa64, soa, material, material32, bc, f_ext, pcg_tol, coarse,
-    x0=None, use_pallas=False,
+    x0=None, use_pallas=False, r64=None,
 ):
     """Phase 1 of the mixed-precision Newton step: f64 residual (SoA element
     pass), f32 frozen tangent state, block-Jacobi blocks, PCG init. `x0`
     restarts the Krylov recurrence from a previous iterate (breakdown
     recovery — see `_pcg_with_restart`). `use_pallas` (static) runs the f32
     freeze and tangent action as Pallas element-block kernels; the f64
-    residual stays XLA (Pallas is f32-only on this platform)."""
-    r64, _ = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
+    residual stays XLA (Pallas is f32-only on this platform). `r64` feeds
+    in a residual the caller already computed (the Newton convergence
+    check) — at 1M DOF the f64 element pass is ~100 ms, worth one per
+    iteration, not two."""
+    if r64 is None:
+        r64, _ = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
     u32_T = u.astype(jnp.float32).T  # [3, N]
     free32 = bc.free_mask.astype(jnp.float32)
     if use_pallas:
@@ -289,8 +293,15 @@ def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters,
     )
 
 
+def _mixed_update_fn(u, x):
+    """u + du in one fused device call (two eager ops would cost two
+    ~30 ms tunnel dispatches per Newton step)."""
+    return u + x.astype(u.dtype)
+
+
 _residual_jit = jax.jit(_residual_fn)
 _residual_soa_jit = jax.jit(_residual_soa_fn)
+_mixed_update_jit = jax.jit(_mixed_update_fn)
 _step_direct_jit = jax.jit(_step_direct_fn)
 _step_matfree_jit = jax.jit(_step_matfree_fn)
 _step_bcsr_jit = jax.jit(_step_bcsr_fn)
@@ -398,7 +409,7 @@ class NewtonSolver:
             self.f_ext, self.scatter,
         )
 
-    def _step(self, u, scale, lin_tol=None):
+    def _step(self, u, scale, lin_tol=None, r64=None):
         if self.options.linear == "direct":
             return _step_direct_jit(
                 u, scale, self.mesh.conn, self.geom, self.material, self.bc,
@@ -406,7 +417,7 @@ class NewtonSolver:
             )
         if self.options.linear == "pcg":
             if self.options.precision == "mixed":
-                return self._step_mixed(u, scale, lin_tol)
+                return self._step_mixed(u, scale, lin_tol, r64=r64)
             tol = self._pcg_tol if lin_tol is None else jnp.asarray(
                 lin_tol, self._pcg_tol.dtype
             )
@@ -422,11 +433,17 @@ class NewtonSolver:
             self.f_ext, self.scatter, self.bcsr, tol, self._pcg_maxiter,
         )
 
-    def _step_mixed(self, u, scale, lin_tol=None):
+    def _step_mixed(self, u, scale, lin_tol=None, r64=None):
         """Chunked mixed-precision step: one prepare call, then bounded CG
         chunks under host control (keeps every device execution short).
         A rounding-level breakdown triggers up to 2 restarts from the
-        current iterate (see `_pcg_with_restart`)."""
+        current iterate (see `_pcg_with_restart`). Host control syncs are
+        batched — on the tunneled backend every blocking device->host
+        fetch costs ~30 ms, so the loop reads (k, rr, ok, stop) in ONE
+        `jax.device_get` per chunk instead of four sequential `float()`s
+        (BENCH_NOTES.md round-2 notes)."""
+        import math
+
         free32 = self.bc.free_mask.astype(jnp.float32)
         tol = self._pcg_tol32 if lin_tol is None else jnp.asarray(
             lin_tol, jnp.float32
@@ -434,21 +451,25 @@ class NewtonSolver:
         st, state, inv_blocks = _mixed_prepare_jit(
             u, scale, self._soa64, self._soa, self.material,
             self._material32, self.bc, self.f_ext, tol,
-            self._coarse, None, use_pallas=self.options.pallas,
+            self._coarse, None, use_pallas=self.options.pallas, r64=r64,
         )
         chunk = self.options.pcg_chunk
         maxiter = self.options.pcg_maxiter
-        bnorm = float(st.stop) / float(tol)  # pcg_init: stop = tol * ||b||
         done_iters = 0
         restarts = 0
+        bnorm = None
         while True:
-            k = done_iters + int(st.k)
-            rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
-            if (bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)) or (
-                k >= maxiter
-            ):
+            st_k, st_rr, st_ok, st_stop = jax.device_get(
+                (st.k, st.rr, st.ok, st.stop)
+            )
+            if bnorm is None:  # pcg_init: stop = tol * ||b||
+                bnorm = float(st_stop) / float(tol)
+            k = done_iters + int(st_k)
+            rnorm = math.sqrt(float(st_rr))
+            rel = rnorm / max(bnorm, 1e-300)
+            if (bool(st_ok) and rnorm <= float(st_stop)) or (k >= maxiter):
                 break
-            if not bool(st.ok):
+            if not bool(st_ok):
                 # breakdown: restart only if it looks like rounding-level
                 # stagnation (substantial reduction achieved) — a genuinely
                 # indefinite tangent breaks down early at rel ~ O(1) and is
@@ -461,6 +482,7 @@ class NewtonSolver:
                     u, scale, self._soa64, self._soa, self.material,
                     self._material32, self.bc, self.f_ext, tol,
                     self._coarse, st.x, use_pallas=self.options.pallas,
+                    r64=r64,  # u unchanged within the step: still valid
                 )
                 continue
             n = min(chunk, maxiter - k)
@@ -468,10 +490,11 @@ class NewtonSolver:
                 st, self._soa, state, inv_blocks, free32, self._coarse, n,
                 use_pallas=self.options.pallas,
             )
-        converged = bool(st.ok) and float(jnp.sqrt(st.rr)) <= float(st.stop)
+        converged = bool(st_ok) and rnorm <= float(st_stop)
         total = jnp.int32(done_iters) + st.k
-        rel = float(jnp.sqrt(st.rr)) / max(bnorm, 1e-300)
-        return u + st.x.astype(u.dtype), total, jnp.bool_(converged), rel
+        return (
+            _mixed_update_jit(u, st.x), total, jnp.bool_(converged), rel
+        )
 
     def step_fn(self, u, scale):
         """One jittable Newton step (also used by the driver's compile
@@ -502,7 +525,7 @@ class NewtonSolver:
         norm0 = None
         eta = 0.5  # Eisenstat-Walker initial forcing
         for it in range(opts.max_newton):
-            _, norm = self._residual(u, scale)
+            r64, norm = self._residual(u, scale)
             norm = float(norm)
             if norm != norm:  # NaN: poisoned state; fail -> bisection retries
                 break
@@ -541,7 +564,9 @@ class NewtonSolver:
                 else:
                     floor = min(2.2e-14 * norm0 / norm, 0.1)
                 lin_tol = max(lin_tol if lin_tol is not None else opts.pcg_tol, floor)
-            u, lin_iters, lin_ok, lin_rel = self._step(u, scale, lin_tol)
+            u, lin_iters, lin_ok, lin_rel = self._step(
+                u, scale, lin_tol, r64=r64
+            )
             pcg_iters.append(int(lin_iters))
             # Inexact-Newton tolerance to stagnation: a PCG stop before the
             # requested tolerance (rounding-level breakdown when tol*||b||
