@@ -260,38 +260,74 @@ def _device_coarse_matrix_probing(
     # jitted: the eager SoA freeze costs ~30 ms tunnel dispatch per unrolled
     # op (hundreds of ops at TET10 q=4 — measured 19 s eager vs ~1 s jitted)
     state0 = _soa_freeze_jit(soa, material32, jnp.zeros((3, N), jnp.float32))
-    Z = np.asarray(
-        _probe_run(
-            soa,
-            state0,
-            jnp.asarray(np.asarray(free_mask), jnp.float32),
-            jnp.asarray(agg, INDEX_DTYPE),
-            jnp.asarray(Bn),
-            jnp.asarray(d),
-            jnp.asarray(color[agg], INDEX_DTYPE),
-            jnp.asarray(cm),
-            n_agg=n_agg,
-            modes=modes,
-        )
-    ).reshape(n_colors, modes, n_agg, modes)
+    Z = _probe_run(
+        soa,
+        state0,
+        jnp.asarray(np.asarray(free_mask), jnp.float32),
+        jnp.asarray(agg, INDEX_DTYPE),
+        jnp.asarray(Bn),
+        jnp.asarray(d),
+        jnp.asarray(color[agg], INDEX_DTYPE),
+        jnp.asarray(cm),
+        n_agg=n_agg,
+        modes=modes,
+    )  # device-resident [n_colors*modes, n_agg, modes]; layout (c, m, B, n)
 
+    # ON-DEVICE dense assembly: materializing Ac on host costs a [nc, nc]
+    # f64 buffer (2.2 GB at the default 1M-DOF operating point) plus a
+    # ~1 GB host->device transfer over the tunnel — the dominant setup
+    # cost after probing. Instead scatter the (small) probe-response stack
+    # Z straight into the device-resident dense matrix: host only builds
+    # the index vectors (a few MB).
     nc = modes * n_agg
-    Ac = np.zeros((nc, nc))
     mm = np.arange(modes)
+    dst_l, src_l = [], []
     for c in range(n_colors):
         Bsel = np.nonzero(attr[:, c] >= 0)[0]
         if len(Bsel) == 0:
             continue
         A = attr[Bsel, c]
         # Ac[modes*B + n, modes*A + m] = Z[c, m, B, n]
-        rows = (modes * Bsel[:, None] + mm[None, :])  # [B, n]
-        cols = (modes * A[:, None] + mm[None, :])  # [B, m]
-        Ac[rows[:, :, None], cols[:, None, :]] = np.transpose(
-            Z[c][:, Bsel, :], (1, 2, 0)
+        rows = modes * Bsel[:, None, None] + mm[None, :, None]  # [B, n, 1]
+        cols = modes * A[:, None, None] + mm[None, None, :]  # [B, 1, m]
+        dst_l.append((rows * nc + cols).reshape(-1))
+        # Z flat index of [c, m, B, n]
+        src = (
+            ((c * modes + mm[None, None, :]) * n_agg + Bsel[:, None, None])
+            * modes
+            + mm[None, :, None]
         )
-    # probing fills (B, A) and (A, B) from different probes: symmetrize the
-    # f32 noise away so the f32 Cholesky sees an exactly symmetric matrix
+        src_l.append(src.reshape(-1))
+    # flat dst indices span nc*nc: i32 covers nc up to ~46k (nc=30k at the
+    # largest swept aggregate count); fall back to i64 beyond
+    dst_dtype = INDEX_DTYPE if nc * nc < np.iinfo(np.int32).max else jnp.int64
+    dst = jnp.asarray(np.concatenate(dst_l), dst_dtype)
+    src = jnp.asarray(np.concatenate(src_l), INDEX_DTYPE)
+    return _assemble_dense_coarse(Z.reshape(-1), src, dst, nc=nc)
+
+
+@functools.partial(jax.jit, static_argnames=("nc",))
+def _assemble_dense_coarse(z_flat, src, dst, *, nc: int):
+    """Scatter probe responses into the dense [nc, nc] coarse matrix and
+    symmetrize, all on device. Each (row, col) entry is written by exactly
+    one probe (distance-2 coloring invariant), so add-into-zeros == set.
+    Probing fills (B, A) and (A, B) from different probes: symmetrizing
+    averages the f32 noise away so the f32 Cholesky sees an exactly
+    symmetric matrix."""
+    flat = jnp.zeros((nc * nc,), z_flat.dtype).at[dst].add(
+        z_flat[src], indices_are_sorted=False, unique_indices=True
+    )
+    Ac = flat.reshape(nc, nc)
     return 0.5 * (Ac + Ac.T)
+
+
+@jax.jit
+def _ridge_and_factor(Ac):
+    """BC ridge + Cholesky on device (see build_coarse_space)."""
+    d = jnp.diagonal(Ac)
+    fix = (d <= 0.0).astype(Ac.dtype)
+    ridge = fix + 1e-8 * jnp.maximum(d.max(), 1.0)
+    return jsl.cho_factor(Ac + jnp.diag(ridge), lower=True)[0]
 
 
 def build_coarse_space(
@@ -373,11 +409,16 @@ def build_coarse_space(
         )
 
     # fully-fixed aggregate components have empty rows: unit diagonal (plus
-    # a tiny ridge so f32 Cholesky stays robust)
-    d = np.diagonal(Ac)
-    fix = (d <= 0.0).astype(Ac.dtype)
-    Ac = Ac + np.diag(fix + 1e-8 * max(d.max(), 1.0))
-    chol = jsl.cho_factor(jnp.asarray(Ac, dtype), lower=True)[0]
+    # a tiny ridge so f32 Cholesky stays robust). The probing path keeps Ac
+    # on device end-to-end (ridge + factor in one jitted program — no
+    # [nc, nc] host buffer or tunnel transfer); host paths ridge in numpy.
+    if isinstance(Ac, jnp.ndarray):
+        chol = _ridge_and_factor(Ac.astype(dtype))
+    else:
+        d = np.diagonal(Ac)
+        fix = (d <= 0.0).astype(Ac.dtype)
+        Ac = Ac + np.diag(fix + 1e-8 * max(d.max(), 1.0))
+        chol = jsl.cho_factor(jnp.asarray(Ac, dtype), lower=True)[0]
     return CoarseSpace(
         agg=jnp.asarray(agg, INDEX_DTYPE),
         perm=jnp.asarray(perm, INDEX_DTYPE),
