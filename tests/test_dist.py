@@ -249,3 +249,35 @@ def test_sharded_large_mesh_step():
     # sanity: the measured budget extrapolates to < 95 GB at 10M DOF/8 chips
     per_owned = rep["total_per_shard"] / rep["owned_nodes"]
     assert per_owned * (10_000_000 / 3 / 8) < 95e9
+
+
+def test_sharded_ew_forcing_matches_single_device(rng):
+    """Eisenstat-Walker forcing in the sharded driver (round-1 VERDICT
+    sharded gap): same fixed point as the single-device f64 reference,
+    with the loose early tolerances visible as fewer early PCG iters."""
+    devs = _devices(4)
+    mesh = box_mesh(3, 3, 3, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.08).build()
+    ref = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13),
+    ).solve()
+    assert ref.converged
+    sharded = ShardedNewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", n_steps=1, precision="mixed",
+            preconditioner="two_level", agg_size=32, forcing="ew",
+            pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
+        ),
+        devices=devs,
+    )
+    res = sharded.solve()
+    assert res.converged
+    rec = res.history[-1]
+    # EW schedule: the first Newton system is solved looser than the last
+    assert rec.pcg_iters[0] < rec.pcg_iters[-1]
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    assert np.abs(u - np.asarray(ref.u)).max() < 1e-7 * scale
