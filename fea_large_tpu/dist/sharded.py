@@ -95,13 +95,17 @@ class ShardedSoA(NamedTuple):
 class ShardedCoarse(NamedTuple):
     """Per-shard aggregation maps + replicated coarse factor (two-level
     preconditioner across the device mesh: restrict locally, psum the
-    coarse residual, solve redundantly on every shard, prolong locally)."""
+    coarse residual, solve redundantly on every shard, prolong locally).
+    Supports the translation (modes=3) and rigid-body-mode (modes=6)
+    coarse bases — multilevel.CoarseSpace docstring; modes is recovered
+    statically from chol.shape[0] // Nc."""
 
     agg_own: jnp.ndarray  # i32[S, No] aggregate of each owned node
     perm_own: jnp.ndarray  # i32[S, No] sort of owned nodes by aggregate
     segids_own: jnp.ndarray  # i32[S, No] ascending (padded slots clamped)
     valid: jnp.ndarray  # f32[S, No] 1 for real owned nodes
-    chol: jnp.ndarray  # f32[3Nc, 3Nc] replicated Cholesky factor
+    dvec_own: jnp.ndarray  # f32[S, No, 3] node - aggregate centroid (0 if modes=3)
+    chol: jnp.ndarray  # f32[modes*Nc, modes*Nc] replicated Cholesky factor
 
 
 class ShardedMultilevel(NamedTuple):
@@ -284,26 +288,37 @@ class ShardedNewtonSolver:
             perm, segids = _padded_sorted_maps(agg_own, valid, n_agg)
             return agg_own, valid, perm, segids
 
-        if self.options.coarse_modes != 3:
-            raise ValueError(
-                "sharded solver currently supports coarse_modes=3 "
-                "(rigid-body-mode coarse is a single-device option)"
-            )
         if self.options.preconditioner == "two_level":
+            from fea_large_tpu.ops.soa import SoAProblem
             from fea_large_tpu.solvers.multilevel import build_coarse_space
 
+            modes = self.options.coarse_modes
+            # the coarse operator is assembled ONCE by on-device probing of
+            # the global-mesh tangent action (multilevel.py) — a transient
+            # single-device SoA table set (~2 GB at 10M DOF, freed after
+            # setup) in exchange for skipping the host sparse Galerkin
+            # product (minutes at that scale)
+            soa_global = SoAProblem.build(self.mesh, jnp.float32)
             coarse = build_coarse_space(
                 self.mesh, self.material, bc_global,
-                agg_size=self.options.agg_size,
+                agg_size=self.options.agg_size, modes=modes,
+                soa=soa_global,
             )
+            del soa_global
             agg_own, valid, perm_own, segids_own = shard_agg_maps(
                 np.asarray(coarse.agg), coarse.n_agg
+            )
+            dvec_local = (
+                part.from_global(np.asarray(coarse.dvec))
+                if modes == 6
+                else np.zeros((S, part.n_owned, 3))
             )
             self.coarse = ShardedCoarse(
                 agg_own=put(agg_own, INDEX_DTYPE),
                 perm_own=put(perm_own, INDEX_DTYPE),
                 segids_own=put(segids_own, INDEX_DTYPE),
                 valid=put(valid, jnp.float32),
+                dvec_own=put(dvec_local, jnp.float32),
                 chol=coarse.chol,  # replicated
             )
             self._n_agg = coarse.n_agg
@@ -414,6 +429,7 @@ class ShardedNewtonSolver:
                 return ShardedCoarse(
                     agg_own=coarse.agg_own[0], perm_own=coarse.perm_own[0],
                     segids_own=coarse.segids_own[0], valid=coarse.valid[0],
+                    dvec_own=coarse.dvec_own[0],
                     chol=coarse.chol,  # replicated
                 )
             return ShardedMultilevel(
@@ -428,7 +444,13 @@ class ShardedNewtonSolver:
             residual; padded owned slots are zeroed by `valid` (their
             clamped segment ids alias the last aggregate)."""
             if coarse_kind == "two_level":
+                modes = coarse.chol.shape[0] // n_agg  # static at trace
                 rp = r[coarse.perm_own] * coarse.valid[coarse.perm_own][:, None]
+                if modes == 6:
+                    # RBM restrict: modes 3+k = sum (d_n x r_n)_k
+                    # (multilevel.CoarseSpace.restrict)
+                    dp = coarse.dvec_own[coarse.perm_own].astype(r.dtype)
+                    rp = jnp.concatenate([rp, jnp.cross(dp, rp)], axis=1)
                 rc = jax.ops.segment_sum(
                     rp, coarse.segids_own, num_segments=n_agg,
                     indices_are_sorted=True,
@@ -436,8 +458,14 @@ class ShardedNewtonSolver:
                 rc = lax.psum(rc, "shard")
                 xc = jsl.cho_solve(
                     (coarse.chol, True), rc.reshape(-1).astype(coarse.chol.dtype)
-                ).reshape(n_agg, 3).astype(r.dtype)
-                return xc[coarse.agg_own]
+                ).reshape(n_agg, modes).astype(r.dtype)
+                za = xc[coarse.agg_own]
+                if modes == 6:
+                    # prolong: (P xc)_n = t_A + omega_A x d_n
+                    return za[:, :3] + jnp.cross(
+                        za[:, 3:], coarse.dvec_own.astype(r.dtype)
+                    )
+                return za
             rp = r[coarse.perm1_own] * coarse.valid[coarse.perm1_own][:, None]
             rc1 = jax.ops.segment_sum(
                 rp, coarse.segids1_own, num_segments=n_agg1,
@@ -523,7 +551,8 @@ class ShardedNewtonSolver:
             coarse_specs = None
         elif coarse_kind == "two_level":
             coarse_specs = ShardedCoarse(
-                P("shard"), P("shard"), P("shard"), P("shard"), P()
+                P("shard"), P("shard"), P("shard"), P("shard"), P("shard"),
+                P(),
             )
         else:
             coarse_specs = ShardedMultilevel(

@@ -281,3 +281,42 @@ def test_sharded_ew_forcing_matches_single_device(rng):
     u = sharded.u_global(res.u)
     scale = np.abs(np.asarray(ref.u)).max()
     assert np.abs(u - np.asarray(ref.u)).max() < 1e-7 * scale
+
+
+def test_sharded_rbm_coarse_matches_and_cuts_iters(rng):
+    """modes=6 rigid-body-mode coarse in the sharded solver (round-2):
+    same solution as the single-device f64 reference, fewer PCG
+    iterations than the translation-only coarse."""
+    devs = _devices(4)
+    mesh = box_mesh(4, 2, 2, lx=4.0, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", -0.08).build()
+    ref = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13),
+    ).solve()
+    assert ref.converged
+
+    def run(modes):
+        s = ShardedNewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(
+                linear="pcg", n_steps=1, precision="mixed",
+                preconditioner="two_level", agg_size=24, coarse_modes=modes,
+                pcg_tol=1e-6, newton_rtol=1e-9, max_newton=60,
+            ),
+            devices=devs,
+        )
+        res = s.solve()
+        assert res.converged
+        iters = sum(sum(r.pcg_iters) for r in res.history)
+        return s.u_global(res.u), iters
+
+    u3, it3 = run(3)
+    u6, it6 = run(6)
+    scale = np.abs(np.asarray(ref.u)).max()
+    assert np.abs(u3 - np.asarray(ref.u)).max() < 1e-7 * scale
+    assert np.abs(u6 - np.asarray(ref.u)).max() < 1e-7 * scale
+    # the rotational modes remove the low-energy bending modes this long
+    # box exercises: strictly fewer total PCG iterations
+    assert it6 < it3, (it6, it3)
