@@ -104,7 +104,8 @@ class ShardedCoarse(NamedTuple):
     perm_own: jnp.ndarray  # i32[S, No] sort of owned nodes by aggregate
     segids_own: jnp.ndarray  # i32[S, No] ascending (padded slots clamped)
     valid: jnp.ndarray  # f32[S, No] 1 for real owned nodes
-    dvec_own: jnp.ndarray  # f32[S, No, 3] node - aggregate centroid (0 if modes=3)
+    dvec_own: jnp.ndarray  # f32[S, No, 3] normalized rotational arm
+    #   (multilevel._rbm_dvec; zeros when modes=3)
     chol: jnp.ndarray  # f32[modes*Nc, modes*Nc] replicated Cholesky factor
 
 
@@ -618,6 +619,7 @@ class ShardedNewtonSolver:
         done_iters = 0
         restarts = 0
         bnorm = None
+        best = None  # best chunk-boundary iterate (solvers/newton.py note)
         while True:
             # ONE batched device->host fetch per chunk (each blocking
             # float() costs a ~30 ms tunnel round trip — BENCH_NOTES.md)
@@ -629,6 +631,8 @@ class ShardedNewtonSolver:
             k = done_iters + int(st_k)
             rnorm = math.sqrt(float(st_rr))
             rel = rnorm / max(bnorm, 1e-300)
+            if best is None or rel < best[0]:
+                best = (rel, st.x)
             if (bool(st_ok) and rnorm <= float(st_stop)) or (
                 k >= opts.pcg_maxiter
             ):
@@ -643,7 +647,7 @@ class ShardedNewtonSolver:
                 done_iters = k
                 st, state, inv_blocks = self._prepare(
                     self.data, self.soa, self.coarse, u, scale_arr, tol,
-                    st.x.astype(u.dtype),
+                    (best[1] if best else st.x).astype(u.dtype),
                 )
                 continue
             st = self._chunk(
@@ -651,7 +655,11 @@ class ShardedNewtonSolver:
             )
         converged = bool(st_ok) and rnorm <= float(st_stop)
         total = jnp.int32(done_iters) + st.k
-        return u + st.x.astype(u.dtype), total, jnp.bool_(converged), rel
+        x = st.x
+        if best is not None and best[0] < rel:
+            rel = best[0]
+            x = best[1]
+        return u + x.astype(u.dtype), total, jnp.bool_(converged), rel
 
     # ------------------------------------------------------------------
     def memory_report(self) -> dict:

@@ -54,7 +54,8 @@ class CoarseSpace:
     perm: jnp.ndarray  # i32[N] stable sort of nodes by aggregate
     segids: jnp.ndarray  # i32[N] aggregate per sorted slot
     chol: jnp.ndarray  # f32[modes*Nc, modes*Nc] lower Cholesky of Ac
-    dvec: jnp.ndarray | None  # f32[N, 3] node - aggregate centroid (modes=6)
+    dvec: jnp.ndarray | None  # f32[N, 3] normalized rotational arm (modes=6):
+    #   (x_n - centroid) / RMS arm of the aggregate (`_rbm_dvec`)
     buckets: object | None  # ops.soa.ScatterBuckets over agg ids (or None)
     n_agg: int
     modes: int
@@ -129,6 +130,26 @@ def default_agg_size(n_nodes: int, target_coarse: int = 5000) -> int:
     Cholesky setup and per-iteration triangular solves grow with Nc;
     ~Nc 5k balances both. A deeper hierarchy is the next step beyond."""
     return int(np.clip(n_nodes // target_coarse, 16, 4096))
+
+
+def _rbm_dvec(coords: np.ndarray, agg: np.ndarray, cent: np.ndarray,
+              n_agg: int) -> np.ndarray:
+    """Per-node rotational-basis arm d_n = (x_n - centroid)/s_A, normalized
+    by the aggregate RMS arm length s_A = sqrt(mean |x_n - centroid|^2).
+
+    The normalization is a pure column rescaling of the prolongator (the
+    coarse SPACE is unchanged) that equilibrates the translation and
+    rotation blocks of Ac: unscaled, the rotation diagonal goes as |d|^2 ~
+    (aggregate extent)^2 and, on fine or elongated meshes, sits orders of
+    magnitude below the translation diagonal — the resulting f32
+    cho_solve noise amplification was measured to break CG down at
+    rel~1e-3 on the elongated dryrun mesh. Scaled, both blocks are O(1)."""
+    d = coords - cent[agg]
+    cnt = np.maximum(np.bincount(agg, minlength=n_agg), 1)
+    s = np.sqrt(
+        np.bincount(agg, weights=(d * d).sum(1), minlength=n_agg) / cnt
+    )
+    return d / np.maximum(s, 1e-30)[agg, None]
 
 
 def _aggregate_adjacency(conn: np.ndarray, agg: np.ndarray, n_agg: int):
@@ -206,7 +227,7 @@ def _probe_run(soa, state0, free32, agg_j, Bn, dvec, color_node, cm,
 
 
 def _device_coarse_matrix_probing(
-    soa, material32, free_mask, coords, agg, cent, n_agg, modes, conn
+    soa, material32, free_mask, coords, agg, dvec, n_agg, modes, conn
 ):
     """Galerkin coarse matrix Ac = P^T (M K M) P assembled ON DEVICE by
     graph-coloring probing: one masked f32 tangent-action probe (the SAME
@@ -238,12 +259,13 @@ def _device_coarse_matrix_probing(
     src = np.repeat(np.arange(n_agg), np.diff(indptr))  # A of each (A,B) edge
     attr[indices, color[src]] = src
 
-    # per-node RBM basis columns B_n [N, 3, modes] (translations + e_k x d)
+    # per-node RBM basis columns B_n [N, 3, modes]: translations + e_k x d
+    # with d the NORMALIZED arm `_rbm_dvec` (conditioning note there)
     Bn = np.zeros((N, 3, modes), np.float32)
     Bn[:, 0, 0] = Bn[:, 1, 1] = Bn[:, 2, 2] = 1.0
     d = np.zeros((N, 3), np.float32)
     if modes == 6:
-        d = (coords - cent[agg]).astype(np.float32)
+        d = np.asarray(dvec, np.float32)
         Bn[:, 1, 3], Bn[:, 2, 3] = -d[:, 2], d[:, 1]
         Bn[:, 0, 4], Bn[:, 2, 4] = d[:, 2], -d[:, 0]
         Bn[:, 0, 5], Bn[:, 1, 5] = -d[:, 1], d[:, 0]
@@ -389,23 +411,26 @@ def build_coarse_space(
             ],
             axis=1,
         )
-        dvec = jnp.asarray(coords - cent[agg], jnp.float32)
+        dvec_np = _rbm_dvec(coords, agg, cent, n_agg)
+        dvec = jnp.asarray(dvec_np, jnp.float32)
         from fea_large_tpu.ops.soa import ScatterBuckets
 
         buckets = ScatterBuckets.build(agg[None, :], n_agg)
+    else:
+        dvec_np = None
     if soa is not None:
         material32 = jax.tree.map(
             lambda x: jnp.asarray(x, jnp.float32), material
         )
         Ac = _device_coarse_matrix_probing(
-            soa, material32, bc.free_mask, coords, agg, cent, n_agg, modes,
-            mesh.conn_host,
+            soa, material32, bc.free_mask, coords, agg, dvec_np, n_agg,
+            modes, mesh.conn_host,
         )
     elif modes == 3:
         Ac = _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask)
     else:
         Ac = _host_coarse_matrix_rbm(
-            mesh, lam, mu, agg, cent, n_agg, free_mask
+            mesh, lam, mu, agg, dvec_np, n_agg, free_mask
         )
 
     # fully-fixed aggregate components have empty rows: unit diagonal (plus
@@ -552,10 +577,10 @@ def _host_k0_csr(mesh, lam, mu, free_mask, chunk=32768):
     return K
 
 
-def _prolongator_csr(coords, agg, n_agg, modes, cent=None):
+def _prolongator_csr(coords, agg, n_agg, modes, dvec=None):
     """Sparse prolongator P [3N, modes*Nc]: per node the 3 x modes block
-    B_n = I (modes=3) or [I | cross-matrix(d_n)] (modes=6, d_n = x_n -
-    centroid — the rigid-body-mode basis, CoarseSpace docstring)."""
+    B_n = I (modes=3) or [I | cross-matrix(d_n)] (modes=6, d_n the
+    normalized rotational arm `_rbm_dvec` — CoarseSpace docstring)."""
     import scipy.sparse as sp
 
     N = len(agg)
@@ -564,7 +589,7 @@ def _prolongator_csr(coords, agg, n_agg, modes, cent=None):
     cols = [modes * agg, modes * agg + 1, modes * agg + 2]
     vals = [np.ones(N), np.ones(N), np.ones(N)]
     if modes == 6:
-        d = coords - cent[agg]
+        d = dvec
         # (e_k x d)_i entries: B[1,3]=-dz B[2,3]=dy B[0,4]=dz B[2,4]=-dx
         # B[0,5]=-dy B[1,5]=dx
         for i, m, v in (
@@ -581,11 +606,12 @@ def _prolongator_csr(coords, agg, n_agg, modes, cent=None):
     ).tocsr()
 
 
-def _host_coarse_matrix_rbm(mesh, lam, mu, agg, cent, n_agg, free_mask):
+def _host_coarse_matrix_rbm(mesh, lam, mu, agg, dvec, n_agg, free_mask):
     """Dense [6Nc, 6Nc] Galerkin coarse matrix P^T (M K0 M) P for the RBM
-    basis, via sparse products (scipy C++ — see `_host_k0_csr`)."""
+    basis (normalized arms `dvec`), via sparse products (scipy C++ — see
+    `_host_k0_csr`)."""
     K = _host_k0_csr(mesh, lam, mu, free_mask)
-    P = _prolongator_csr(mesh.coords_host, agg, n_agg, 6, cent)
+    P = _prolongator_csr(mesh.coords_host, agg, n_agg, 6, dvec)
     return np.asarray((P.T @ (K @ P)).todense())
 
 

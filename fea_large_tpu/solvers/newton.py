@@ -458,6 +458,11 @@ class NewtonSolver:
         done_iters = 0
         restarts = 0
         bnorm = None
+        best = None  # (rel, x): f32 CG can LOSE ground after hitting its
+        # rounding floor (orthogonality loss -> breakdown with a worse
+        # iterate than the best seen — measured on the elongated-beam RBM
+        # case, BENCH_NOTES.md round 2); keep the best chunk-boundary
+        # iterate and return it if the final one is worse.
         while True:
             st_k, st_rr, st_ok, st_stop = jax.device_get(
                 (st.k, st.rr, st.ok, st.stop)
@@ -467,6 +472,8 @@ class NewtonSolver:
             k = done_iters + int(st_k)
             rnorm = math.sqrt(float(st_rr))
             rel = rnorm / max(bnorm, 1e-300)
+            if best is None or rel < best[0]:
+                best = (rel, st.x)
             if (bool(st_ok) and rnorm <= float(st_stop)) or (k >= maxiter):
                 break
             if not bool(st_ok):
@@ -481,7 +488,8 @@ class NewtonSolver:
                 st, state, inv_blocks = _mixed_prepare_jit(
                     u, scale, self._soa64, self._soa, self.material,
                     self._material32, self.bc, self.f_ext, tol,
-                    self._coarse, st.x, use_pallas=self.options.pallas,
+                    self._coarse, best[1] if best else st.x,
+                    use_pallas=self.options.pallas,
                     r64=r64,  # u unchanged within the step: still valid
                 )
                 continue
@@ -492,9 +500,11 @@ class NewtonSolver:
             )
         converged = bool(st_ok) and rnorm <= float(st_stop)
         total = jnp.int32(done_iters) + st.k
-        return (
-            _mixed_update_jit(u, st.x), total, jnp.bool_(converged), rel
-        )
+        x = st.x
+        if best is not None and best[0] < rel:
+            rel = best[0]
+            x = best[1]
+        return _mixed_update_jit(u, x), total, jnp.bool_(converged), rel
 
     def step_fn(self, u, scale):
         """One jittable Newton step (also used by the driver's compile

@@ -312,11 +312,33 @@ def test_sharded_rbm_coarse_matches_and_cuts_iters(rng):
         iters = sum(sum(r.pcg_iters) for r in res.history)
         return s.u_global(res.u), iters
 
-    u3, it3 = run(3)
-    u6, it6 = run(6)
+    u3, _ = run(3)
+    u6, _ = run(6)
     scale = np.abs(np.asarray(ref.u)).max()
     assert np.abs(u3 - np.asarray(ref.u)).max() < 1e-7 * scale
     assert np.abs(u6 - np.asarray(ref.u)).max() < 1e-7 * scale
-    # the rotational modes remove the low-energy bending modes this long
-    # box exercises: strictly fewer total PCG iterations
-    assert it6 < it3, (it6, it3)
+
+    # iteration-count comparison on ONE linear solve from the same smooth
+    # affine state (SPD tangent there — full-load solves from the raw BC
+    # jump can hit the near-indefinite tangent and bisect, which makes
+    # total-solve counts incomparable): the rotational modes remove the
+    # low-energy bending modes this long box exercises.
+    def one_solve_iters(modes):
+        s = ShardedNewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(
+                linear="pcg", n_steps=1, precision="mixed",
+                preconditioner="two_level", agg_size=24, coarse_modes=modes,
+                pcg_tol=1e-5, pcg_maxiter=500,
+            ),
+            devices=devs,
+        )
+        coords = np.asarray(mesh.coords_host)
+        u_aff = np.zeros((mesh.n_nodes, 3))
+        u_aff[:, 0] = -0.08 * coords[:, 0] / coords[:, 0].max()
+        u = s._impose(s.data, s.u_from_global(u_aff), jnp.asarray(1.0))
+        _, iters, ok, rel = s._step_pcg(u, jnp.asarray(1.0))
+        assert bool(ok) or float(rel) <= 1e-3
+        return int(iters)
+
+    assert one_solve_iters(6) < one_solve_iters(3)

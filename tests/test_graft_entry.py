@@ -26,4 +26,6 @@ def test_dryrun_multichip_two_devices(capsys):
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
     graft.dryrun_multichip(2)
-    assert "pcg_ok=True" in capsys.readouterr().out
+    # the dryrun's own asserts enforce usable PCG progress + nonlinear
+    # residual reduction (production acceptance — see __graft_entry__)
+    assert "after 1 Newton step" in capsys.readouterr().out

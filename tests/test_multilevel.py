@@ -69,11 +69,15 @@ def test_rbm_coarse_matrix_matches_direct_galerkin(rng):
         [np.bincount(agg, weights=coords[:, d], minlength=n_agg) / cnt
          for d in range(3)], axis=1,
     )
-    # explicit prolongator: B_n = [I | cross-matrix(d_n)]
+    # explicit prolongator: B_n = [I | cross-matrix(d_n)] with the
+    # RMS-normalized rotational arms (multilevel._rbm_dvec)
+    from fea_large_tpu.solvers.multilevel import _rbm_dvec
+
+    dvec = _rbm_dvec(coords, agg, cent, n_agg)
     P = np.zeros((3 * N, 6 * n_agg))
     for n in range(N):
         A = agg[n]
-        d = coords[n] - cent[A]
+        d = dvec[n]
         B = np.zeros((3, 6))
         B[0, 0] = B[1, 1] = B[2, 2] = 1.0
         B[1, 3], B[2, 3] = -d[2], d[1]
@@ -82,7 +86,7 @@ def test_rbm_coarse_matrix_matches_direct_galerkin(rng):
         P[3 * n : 3 * n + 3, 6 * A : 6 * A + 6] = B
     Ac_direct = P.T @ K @ P
     Ac_fact = _host_coarse_matrix_rbm(
-        mesh, 1.3, 0.7, agg, cent, n_agg, np.asarray(bc.free_mask)
+        mesh, 1.3, 0.7, agg, dvec, n_agg, np.asarray(bc.free_mask)
     )
     np.testing.assert_allclose(Ac_fact, Ac_direct, rtol=1e-9, atol=1e-10)
 
@@ -111,14 +115,17 @@ def test_probing_coarse_matches_host(modes, rng):
          for d in range(3)], axis=1,
     )
     m = np.asarray(bc.free_mask)
+    from fea_large_tpu.solvers.multilevel import _rbm_dvec
+
+    dvec = _rbm_dvec(coords, agg, cent, n_agg) if modes == 6 else None
     if modes == 3:
         Ac_host = _host_coarse_matrix(mesh, 1.3, 0.7, agg, n_agg, m)
     else:
-        Ac_host = _host_coarse_matrix_rbm(mesh, 1.3, 0.7, agg, cent, n_agg, m)
+        Ac_host = _host_coarse_matrix_rbm(mesh, 1.3, 0.7, agg, dvec, n_agg, m)
     soa = SoAProblem.build(mesh, jnp.float32)
     mat32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), mat)
     Ac_dev = _device_coarse_matrix_probing(
-        soa, mat32, bc.free_mask, coords, agg, cent, n_agg, modes,
+        soa, mat32, bc.free_mask, coords, agg, dvec, n_agg, modes,
         mesh.conn_host,
     )
     scale = np.abs(Ac_host).max()
