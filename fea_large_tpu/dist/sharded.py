@@ -690,6 +690,20 @@ class ShardedNewtonSolver:
         state_b = (3 * 9 + 2) * q * El * pdt_size  # F, S, A + alpha, beta
         pcg_b = 4 * No * 3 * pdt_size  # x, r, z, p
         jacobi_b = No * 9 * pdt_size
+        # coarse: the per-shard aggregation maps shard with No; the dense
+        # Cholesky factor (chol/chol2/dinv1/agg2...) is REPLICATED — every
+        # shard holds the full copy, and its size is set by the aggregate
+        # policy (~constant in N), not by the per-shard node count
+        coarse_sharded = 0
+        coarse_replicated = 0
+        if self.coarse is not None:
+            for name, x in zip(self.coarse._fields, self.coarse):
+                if not hasattr(x, "nbytes"):
+                    continue
+                if x.ndim >= 1 and x.shape[0] == S:  # [S, No, ...] maps
+                    coarse_sharded += x.nbytes // S
+                else:
+                    coarse_replicated += x.nbytes
         return {
             "n_shards": S,
             "owned_nodes": No,
@@ -697,14 +711,15 @@ class ShardedNewtonSolver:
             "elements": El,
             "static_partition_bc": nbytes(self.data) // S,
             "static_soa_tables": nbytes(self.soa) // S,
-            "static_coarse": nbytes(self.coarse) // S if self.coarse else 0,
+            "static_coarse_maps": coarse_sharded,
+            "static_coarse_replicated": coarse_replicated,
             "work_frozen_state": state_b,
             "work_pcg_vectors": pcg_b,
             "work_jacobi_blocks": jacobi_b,
             "total_per_shard": (
                 nbytes(self.data) // S
                 + nbytes(self.soa) // S
-                + (nbytes(self.coarse) // S if self.coarse else 0)
+                + coarse_sharded + coarse_replicated
                 + state_b + pcg_b + jacobi_b
             ),
         }

@@ -245,10 +245,12 @@ def test_sharded_large_mesh_step():
     assert bool(ok) and int(pcg_iters) > 0
     rep = solver.memory_report()
     assert rep["total_per_shard"] > 0
-    # the static tables dominate and scale with owned nodes + elements;
-    # sanity: the measured budget extrapolates to < 95 GB at 10M DOF/8 chips
-    per_owned = rep["total_per_shard"] / rep["owned_nodes"]
-    assert per_owned * (10_000_000 / 3 / 8) < 95e9
+    # sharded tables scale with owned nodes; the replicated dense coarse
+    # factor is constant in N (aggregate policy); sanity: the measured
+    # budget extrapolates to < 95 GB at 10M DOF / 8 chips
+    repl = rep["static_coarse_replicated"]
+    per_owned = (rep["total_per_shard"] - repl) / rep["owned_nodes"]
+    assert per_owned * (10_000_000 / 3 / 8) + repl < 95e9
 
 
 def test_sharded_ew_forcing_matches_single_device(rng):
