@@ -261,3 +261,42 @@ def test_pcg_chunk_continuation_bitwise():
     u_small = run(7)
     u_big = run(100000)
     assert np.array_equal(u_small, u_big)
+
+
+def test_mixed_pcg_returns_best_iterate_on_floor():
+    """On a mesh where the f32 RBM-preconditioned recurrence hits its
+    rounding floor and breaks down (elongated beam — BENCH_NOTES round 2),
+    the chunked driver must return a USABLE direction: the best iterate
+    seen, with rel far below the breakdown point, and the Newton step must
+    still reduce the nonlinear residual."""
+    import numpy as np
+
+    from fea_large_tpu import NeoHookean
+    from fea_large_tpu.bc import DirichletBuilder
+    from fea_large_tpu.mesh.generators import box_mesh
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+    mesh = box_mesh(16, 2, 2, lx=4.0, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", -0.05).build()
+    solver = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", precision="mixed", preconditioner="two_level",
+            agg_size=32, coarse_modes=6, pcg_tol=1e-8, pcg_maxiter=300,
+        ),
+    )
+    coords = np.asarray(mesh.coords_host)
+    u = jnp.zeros((mesh.n_nodes, 3)).at[:, 0].set(
+        -0.05 * jnp.asarray(coords[:, 0]) / coords[:, 0].max()
+    )
+    u = solver.bc.impose(u, 1.0)
+    r0, n0 = solver._residual(u, jnp.asarray(1.0))
+    u2, iters, ok, rel = solver._step_mixed(u, jnp.asarray(1.0), r64=r0)
+    # tol 1e-8 is unreachable in f32: the solve must stop without
+    # converging but hand back the best direction (well under the 1e-3
+    # inexact-Newton acceptance), not the post-breakdown one
+    assert not bool(ok)
+    assert float(rel) <= 1e-3
+    _, n1 = solver._residual(u2, jnp.asarray(1.0))
+    assert float(n1) < 0.05 * float(n0)
