@@ -157,10 +157,30 @@ def _cmd_bench(args) -> int:
     from fea_large_tpu.solvers.newton import NewtonSolver
 
     task = load_task(args.task)
-    solver = NewtonSolver(
-        task.mesh, task.material, task.build_bc(), task.build_forces(),
-        task.solver,
-    )
+    n_shards = task.partition.n_shards
+    if n_shards > 1:
+        # bench the task the way `run` executes it (config 5 included)
+        import jax
+
+        from fea_large_tpu.dist.sharded import ShardedNewtonSolver
+
+        devices = jax.devices()
+        if len(devices) < n_shards:
+            print(json.dumps({
+                "task": task.name,
+                "error": f"needs {n_shards} devices, have {len(devices)}",
+            }))
+            return 2
+        solver = ShardedNewtonSolver(
+            task.mesh, task.material, task.build_bc(), task.build_forces(),
+            task.solver, devices=devices[:n_shards],
+            partition_method=task.partition.method,
+        )
+    else:
+        solver = NewtonSolver(
+            task.mesh, task.material, task.build_bc(), task.build_forces(),
+            task.solver,
+        )
     res = solver.solve()  # warmup: compiles every program variant
     if not res.converged:
         print(json.dumps({"task": task.name, "error": "did not converge"}))
@@ -178,6 +198,7 @@ def _cmd_bench(args) -> int:
             {
                 "task": task.name,
                 "n_dof": task.mesh.n_dof,
+                "n_shards": n_shards,
                 "wall_s": round(best, 4),
                 "newton_steps": steps,
                 "s_per_newton_step": round(best / max(steps, 1), 4),

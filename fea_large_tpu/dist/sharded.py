@@ -59,6 +59,7 @@ from fea_large_tpu.ops.soa import (
 from fea_large_tpu.solvers.linear import (
     PCGState,
     apply_block_jacobi,
+    drive_chunked_pcg,
     jacobi_inverse_blocks,
     pcg_chunk,
     pcg_init,
@@ -125,6 +126,13 @@ class ShardedMultilevel(NamedTuple):
     perm2: jnp.ndarray  # i32[Nc1] replicated
     segids2: jnp.ndarray  # i32[Nc1] replicated
     chol2: jnp.ndarray  # f32[3Nc2, 3Nc2] replicated
+
+
+@jax.jit
+def _sharded_update_jit(u, x):
+    """u + du in one fused device call (two eager ops cost two ~30 ms
+    tunnel dispatches per Newton step — solvers/newton.py note)."""
+    return u + x.astype(u.dtype)
 
 
 def _host_geometry(mesh: Mesh, part: Partition):
@@ -248,11 +256,16 @@ class ShardedNewtonSolver:
             perm = np.argsort(flat, kind="stable")
             perms[p] = perm
             segids[p] = flat[perm]
+        # the pure-f64 parity path never touches the f32 tables (p_of
+        # selects by dtype); keep [S, ...0-extent] placeholders instead of
+        # full copies so the per-shard static budget isn't inflated ~1/3.
+        # (mixed needs BOTH: f64 residual + f32 tangent.)
+        mixed = self.options.precision == "mixed"
         self.soa = ShardedSoA(
             gradN64=put(g_soa, DTYPE),
             detJxW64=put(v_soa, DTYPE),
-            gradN32=put(g_soa, jnp.float32),
-            detJxW32=put(v_soa, jnp.float32),
+            gradN32=put(g_soa if mixed else g_soa[:, :0], jnp.float32),
+            detJxW32=put(v_soa if mixed else v_soa[:, :0], jnp.float32),
             conn_T=put(conn_T, INDEX_DTYPE),
             perm_T=put(perms, INDEX_DTYPE),
             segids_T=put(segids, INDEX_DTYPE),
@@ -604,62 +617,36 @@ class ShardedNewtonSolver:
 
     # ------------------------------------------------------------------
     def _step_pcg(self, u, scale_arr, lin_tol=None):
-        """Host-orchestrated chunked PCG across the device mesh, with up to
-        2 restarts on rounding-level breakdown (solvers/newton.py)."""
+        """Host-orchestrated chunked PCG across the device mesh, on the
+        SAME shared control loop as the single-device mixed path
+        (`linear.drive_chunked_pcg`: batched syncs, rounding-breakdown
+        restarts, best-iterate tracking). The chunk program is built with
+        a fixed `pcg_chunk` length, so the final chunk may overshoot
+        pcg_maxiter by at most pcg_chunk-1 iterations."""
         opts = self.options
         tol = jnp.asarray(
             opts.pcg_tol if lin_tol is None else lin_tol, self._pcg_dtype
         )
-        import math
+        cell = {}
 
-        x0 = jnp.zeros_like(u)
-        st, state, inv_blocks = self._prepare(
-            self.data, self.soa, self.coarse, u, scale_arr, tol, x0
+        def prepare(x0):
+            x0 = jnp.zeros_like(u) if x0 is None else x0.astype(u.dtype)
+            st, cell["state"], cell["inv_blocks"] = self._prepare(
+                self.data, self.soa, self.coarse, u, scale_arr, tol, x0
+            )
+            return st
+
+        def chunk(st, n):  # fixed-length chunk program; n unused
+            return self._chunk(
+                self.data, self.soa, self.coarse, st, cell["state"],
+                cell["inv_blocks"],
+            )
+
+        x, total, converged, rel = drive_chunked_pcg(
+            prepare, chunk, tol=tol, chunk_iters=opts.pcg_chunk,
+            maxiter=opts.pcg_maxiter,
         )
-        done_iters = 0
-        restarts = 0
-        bnorm = None
-        best = None  # best chunk-boundary iterate (solvers/newton.py note)
-        while True:
-            # ONE batched device->host fetch per chunk (each blocking
-            # float() costs a ~30 ms tunnel round trip — BENCH_NOTES.md)
-            st_k, st_rr, st_ok, st_stop = jax.device_get(
-                (st.k, st.rr, st.ok, st.stop)
-            )
-            if bnorm is None:  # pcg_init: stop = tol * ||b||
-                bnorm = float(st_stop) / float(tol)
-            k = done_iters + int(st_k)
-            rnorm = math.sqrt(float(st_rr))
-            rel = rnorm / max(bnorm, 1e-300)
-            if best is None or rel < best[0]:
-                best = (rel, st.x)
-            if (bool(st_ok) and rnorm <= float(st_stop)) or (
-                k >= opts.pcg_maxiter
-            ):
-                break
-            if not bool(st_ok):
-                # rounding-level breakdown -> restart; early breakdown at
-                # rel ~ O(1) -> genuinely indefinite, leave to bisection
-                # (see solvers/newton.py::_step_mixed)
-                if restarts >= 2 or rel > 1e-3:
-                    break
-                restarts += 1
-                done_iters = k
-                st, state, inv_blocks = self._prepare(
-                    self.data, self.soa, self.coarse, u, scale_arr, tol,
-                    (best[1] if best else st.x).astype(u.dtype),
-                )
-                continue
-            st = self._chunk(
-                self.data, self.soa, self.coarse, st, state, inv_blocks
-            )
-        converged = bool(st_ok) and rnorm <= float(st_stop)
-        total = jnp.int32(done_iters) + st.k
-        x = st.x
-        if best is not None and best[0] < rel:
-            rel = best[0]
-            x = best[1]
-        return u + x.astype(u.dtype), total, jnp.bool_(converged), rel
+        return _sharded_update_jit(u, x), total, converged, rel
 
     # ------------------------------------------------------------------
     def memory_report(self) -> dict:
@@ -682,9 +669,11 @@ class ShardedNewtonSolver:
             )
 
         pdt_size = jnp.dtype(self._pcg_dtype).itemsize
-        q = self.soa.gradN32.shape[1]
-        npe = self.soa.gradN32.shape[2]
-        El = self.soa.gradN32.shape[-1]
+        # shape introspection from the f64 tables (always materialized;
+        # the f32 tables are 0-extent placeholders on the pure-f64 path)
+        q = self.soa.gradN64.shape[1]
+        npe = self.soa.gradN64.shape[2]
+        El = self.soa.gradN64.shape[-1]
         No, Hl = self.part.n_owned, self.part.n_halo
         # runtime working set (allocated during _prepare/_chunk, per shard):
         state_b = (3 * 9 + 2) * q * El * pdt_size  # F, S, A + alpha, beta
@@ -693,14 +682,20 @@ class ShardedNewtonSolver:
         # coarse: the per-shard aggregation maps shard with No; the dense
         # Cholesky factor (chol/chol2/dinv1/agg2...) is REPLICATED — every
         # shard holds the full copy, and its size is set by the aggregate
-        # policy (~constant in N), not by the per-shard node count
+        # policy (~constant in N), not by the per-shard node count.
+        # Classified by FIELD NAME: a replicated array can coincidentally
+        # have leading dim == S (e.g. Nc1 == n_shards on a tiny mesh).
+        sharded_fields = {
+            "agg_own", "perm_own", "segids_own", "valid", "dvec_own",
+            "agg1_own", "perm1_own", "segids1_own",
+        }
         coarse_sharded = 0
         coarse_replicated = 0
         if self.coarse is not None:
             for name, x in zip(self.coarse._fields, self.coarse):
                 if not hasattr(x, "nbytes"):
                     continue
-                if x.ndim >= 1 and x.shape[0] == S:  # [S, No, ...] maps
+                if name in sharded_fields:
                     coarse_sharded += x.nbytes // S
                 else:
                     coarse_replicated += x.nbytes

@@ -141,7 +141,70 @@ def pcg_chunk(matvec, state: PCGState, preconditioner=None, dot=None,
         p = z + beta * s.p
         return PCGState(x, r, z, p, rz_new, rr_new, s.k + 1, ok, s.stop)
 
-    return jax.lax.while_loop(cond, body, state)
+    st = jax.lax.while_loop(cond, body, state)
+    # a non-finite rr (overflow from a near-breakdown huge alpha) exits the
+    # cond above with ok still True; report it AS a breakdown so host chunk
+    # loops take their restart/abort path instead of re-dispatching no-op
+    # chunks forever (found by review: the cond is immediately False again)
+    return st._replace(ok=st.ok & jnp.isfinite(st.rr))
+
+
+def drive_chunked_pcg(prepare, chunk, *, tol, chunk_iters, maxiter):
+    """Host-orchestrated chunked PCG: the SHARED control loop of the
+    single-device mixed path and the sharded path (they previously
+    duplicated ~80 lines and drifted — round-2 review).
+
+    `prepare(x0)` (re)builds the Krylov state (x0=None → from zero);
+    `chunk(st, n)` runs up to n further iterations (a fixed-size chunk
+    program may ignore n). Behavior:
+      * ONE batched device->host fetch of (k, rr, ok, stop) per chunk
+        (each blocking float() is a ~30 ms tunnel round trip);
+      * up to 2 restarts on rounding-level breakdown (substantial
+        reduction achieved, rel <= 1e-3) — an early breakdown at rel ~O(1)
+        signals a genuinely indefinite operator and is the caller's
+        load-step-bisection case;
+      * best-iterate tracking: f32 CG can LOSE ground after hitting its
+        rounding floor; the best chunk-boundary iterate is returned when
+        the final one is worse (NaN-safe), and restarts resume from it.
+
+    Returns (x, total_iters i32, converged bool_, rel float).
+    """
+    import math
+
+    st = prepare(None)
+    done_iters = 0
+    restarts = 0
+    bnorm = None
+    best = None
+    while True:
+        st_k, st_rr, st_ok, st_stop = jax.device_get(
+            (st.k, st.rr, st.ok, st.stop)
+        )
+        if bnorm is None:  # pcg_init: stop = tol * ||b||
+            bnorm = float(st_stop) / float(tol)
+        k = done_iters + int(st_k)
+        rnorm = math.sqrt(float(st_rr))
+        rel = rnorm / max(bnorm, 1e-300)
+        if best is None or rel < best[0]:
+            best = (rel, st.x)
+        if (bool(st_ok) and rnorm <= float(st_stop)) or (k >= maxiter):
+            break
+        if not bool(st_ok):
+            if restarts >= 2 or rel > 1e-3:
+                break
+            restarts += 1
+            done_iters = k
+            st = prepare(best[1] if best else st.x)
+            continue
+        st = chunk(st, min(chunk_iters, maxiter - k))
+    converged = bool(st_ok) and rnorm <= float(st_stop)
+    total = jnp.int32(done_iters) + st.k
+    x = st.x
+    # `not (rel <= best)` rather than `best < rel`: a NaN rel (overflow
+    # breakdown) must also fall back to the best finite iterate
+    if best is not None and not (rel <= best[0]):
+        rel, x = best
+    return x, total, jnp.bool_(converged), rel
 
 
 def pcg(

@@ -54,6 +54,7 @@ from fea_large_tpu.solvers.linear import (
     apply_block_jacobi,
     block_jacobi_preconditioner,
     dense_cholesky_solve,
+    drive_chunked_pcg,
     jacobi_inverse_blocks,
     pcg,
     pcg_chunk,
@@ -178,9 +179,12 @@ def _pcg_with_restart(matvec, r, precond, pcg_tol, pcg_maxiter):
     already converged, the restart's while_loop exits after 0 iterations
     (cost: one matvec + one preconditioner apply)."""
     res = pcg(matvec, r, preconditioner=precond, tol=pcg_tol, maxiter=pcg_maxiter)
+    # the restart only gets the REMAINING budget: pcg_maxiter is a hard
+    # bound on total iterations (a stagnating solve that burned the full
+    # budget restarts with 0 iterations — one matvec + precond apply)
     res2 = pcg(
         matvec, r, preconditioner=precond, x0=res.x, tol=pcg_tol,
-        maxiter=pcg_maxiter,
+        maxiter=jnp.maximum(pcg_maxiter - res.iterations, 0),
     )
     return PCGResult(
         x=res2.x,
@@ -435,76 +439,35 @@ class NewtonSolver:
 
     def _step_mixed(self, u, scale, lin_tol=None, r64=None):
         """Chunked mixed-precision step: one prepare call, then bounded CG
-        chunks under host control (keeps every device execution short).
-        A rounding-level breakdown triggers up to 2 restarts from the
-        current iterate (see `_pcg_with_restart`). Host control syncs are
-        batched — on the tunneled backend every blocking device->host
-        fetch costs ~30 ms, so the loop reads (k, rr, ok, stop) in ONE
-        `jax.device_get` per chunk instead of four sequential `float()`s
-        (BENCH_NOTES.md round-2 notes)."""
-        import math
-
+        chunks driven by the shared host loop (`linear.drive_chunked_pcg`
+        — batched syncs, rounding-breakdown restarts, best-iterate
+        tracking; the sharded solver reuses the same loop)."""
         free32 = self.bc.free_mask.astype(jnp.float32)
         tol = self._pcg_tol32 if lin_tol is None else jnp.asarray(
             lin_tol, jnp.float32
         )
-        st, state, inv_blocks = _mixed_prepare_jit(
-            u, scale, self._soa64, self._soa, self.material,
-            self._material32, self.bc, self.f_ext, tol,
-            self._coarse, None, use_pallas=self.options.pallas, r64=r64,
+        cell = {}
+
+        def prepare(x0):
+            st, cell["state"], cell["inv_blocks"] = _mixed_prepare_jit(
+                u, scale, self._soa64, self._soa, self.material,
+                self._material32, self.bc, self.f_ext, tol,
+                self._coarse, x0, use_pallas=self.options.pallas,
+                r64=r64,  # u unchanged within the step: stays valid
+            )
+            return st
+
+        def chunk(st, n):
+            return _mixed_chunk_jit(
+                st, self._soa, cell["state"], cell["inv_blocks"], free32,
+                self._coarse, n, use_pallas=self.options.pallas,
+            )
+
+        x, total, converged, rel = drive_chunked_pcg(
+            prepare, chunk, tol=tol, chunk_iters=self.options.pcg_chunk,
+            maxiter=self.options.pcg_maxiter,
         )
-        chunk = self.options.pcg_chunk
-        maxiter = self.options.pcg_maxiter
-        done_iters = 0
-        restarts = 0
-        bnorm = None
-        best = None  # (rel, x): f32 CG can LOSE ground after hitting its
-        # rounding floor (orthogonality loss -> breakdown with a worse
-        # iterate than the best seen — measured on the elongated-beam RBM
-        # case, BENCH_NOTES.md round 2); keep the best chunk-boundary
-        # iterate and return it if the final one is worse.
-        while True:
-            st_k, st_rr, st_ok, st_stop = jax.device_get(
-                (st.k, st.rr, st.ok, st.stop)
-            )
-            if bnorm is None:  # pcg_init: stop = tol * ||b||
-                bnorm = float(st_stop) / float(tol)
-            k = done_iters + int(st_k)
-            rnorm = math.sqrt(float(st_rr))
-            rel = rnorm / max(bnorm, 1e-300)
-            if best is None or rel < best[0]:
-                best = (rel, st.x)
-            if (bool(st_ok) and rnorm <= float(st_stop)) or (k >= maxiter):
-                break
-            if not bool(st_ok):
-                # breakdown: restart only if it looks like rounding-level
-                # stagnation (substantial reduction achieved) — a genuinely
-                # indefinite tangent breaks down early at rel ~ O(1) and is
-                # the driver's bisection case, not a restart case
-                if restarts >= 2 or rel > 1e-3:
-                    break
-                restarts += 1
-                done_iters = k
-                st, state, inv_blocks = _mixed_prepare_jit(
-                    u, scale, self._soa64, self._soa, self.material,
-                    self._material32, self.bc, self.f_ext, tol,
-                    self._coarse, best[1] if best else st.x,
-                    use_pallas=self.options.pallas,
-                    r64=r64,  # u unchanged within the step: still valid
-                )
-                continue
-            n = min(chunk, maxiter - k)
-            st = _mixed_chunk_jit(
-                st, self._soa, state, inv_blocks, free32, self._coarse, n,
-                use_pallas=self.options.pallas,
-            )
-        converged = bool(st_ok) and rnorm <= float(st_stop)
-        total = jnp.int32(done_iters) + st.k
-        x = st.x
-        if best is not None and best[0] < rel:
-            rel = best[0]
-            x = best[1]
-        return _mixed_update_jit(u, x), total, jnp.bool_(converged), rel
+        return _mixed_update_jit(u, x), total, converged, rel
 
     def step_fn(self, u, scale):
         """One jittable Newton step (also used by the driver's compile

@@ -300,3 +300,24 @@ def test_mixed_pcg_returns_best_iterate_on_floor():
     assert float(rel) <= 1e-3
     _, n1 = solver._residual(u2, jnp.asarray(1.0))
     assert float(n1) < 0.05 * float(n0)
+
+
+def test_pcg_chunk_reports_nonfinite_rr_as_breakdown():
+    """A chunk whose recurrence overflowed (rr = inf/NaN, ok still True —
+    the cond guard stops BEFORE the pq<=0 guard can flip ok) must come
+    back flagged as breakdown, or the host chunk loops would re-dispatch
+    no-op chunks forever (round-2 review finding, reproduced)."""
+    import numpy as np
+
+    from fea_large_tpu.solvers.linear import PCGState, pcg_chunk
+
+    n = 8
+    st = PCGState(
+        x=jnp.zeros((n, 3)), r=jnp.full((n, 3), jnp.inf),
+        z=jnp.zeros((n, 3)), p=jnp.zeros((n, 3)),
+        rz=jnp.asarray(1.0), rr=jnp.asarray(jnp.inf),
+        k=jnp.int32(3), ok=jnp.bool_(True), stop=jnp.asarray(1e-8),
+    )
+    out = pcg_chunk(lambda v: v, st, maxiter=5)
+    assert not bool(out.ok)
+    assert int(out.k) == 3  # no iterations were run on the poisoned state
