@@ -64,7 +64,12 @@ from fea_large_tpu.solvers.linear import (
     pcg_chunk,
     pcg_init,
 )
-from fea_large_tpu.solvers.newton import IncrementRecord, SolveResult, SolverOptions
+from fea_large_tpu.solvers.newton import (
+    IncrementRecord,
+    SolveResult,
+    SolverOptions,
+    newton_lin_tol,
+)
 
 
 class ShardedData(NamedTuple):
@@ -753,20 +758,9 @@ class ShardedNewtonSolver:
                     float(scale), it, norms, pcg_iters, time.perf_counter() - t0
                 )
                 return u, True, rec
-            # forcing + precision guard — see solvers/newton.py::_newton
-            lin_tol = None
-            if opts.forcing == "ew":
-                if it > 0:
-                    cand = 0.9 * (norms[-1] / norms[-2]) ** 2
-                    safe = 0.9 * eta**2
-                    eta = max(cand, safe) if safe > 0.1 else cand
-                eta = min(max(eta, opts.pcg_tol), 0.5)
-                lin_tol = eta
-            if self.options.precision == "mixed":
-                floor = 1.2e-6
-            else:
-                floor = min(2.2e-14 * norm0 / norm, 0.1)
-            lin_tol = max(lin_tol if lin_tol is not None else opts.pcg_tol, floor)
+            # forcing + precision floor — shared with the single-device
+            # driver (solvers/newton.py::newton_lin_tol)
+            lin_tol, eta = newton_lin_tol(opts, it, norms, norm0, eta)
             u, lin_iters, lin_ok, lin_rel = self._step_pcg(u, scale_arr, lin_tol)
             pcg_iters.append(int(lin_iters))
             # see solvers/newton.py: accept a stagnated PCG step that made

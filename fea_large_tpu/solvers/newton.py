@@ -297,6 +297,35 @@ def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters,
     )
 
 
+def newton_lin_tol(opts, it, norms, norm0, eta):
+    """(lin_tol, eta') for Newton iteration `it`: Eisenstat-Walker
+    choice-2 forcing (gamma=0.9, alpha=2, over-tightening safeguard) when
+    opts.forcing == "ew", then the precision floor. Shared by
+    NewtonSolver._newton and ShardedNewtonSolver._newton.
+
+    Precision floor: the PCG target is tol*||R||; late in Newton ||R|| is
+    tiny and a fixed relative tol can demand an absolute residual below
+    floating-point rounding — CG then stagnates (or breaks down) chasing
+    it. The achievable ABSOLUTE residual is ~eps * problem scale: for the
+    f64 path that scale is ||R0|| (fixed tangent/residual scale), so floor
+    the relative tol at 100 eps64 ||R0||/||R||; for the mixed path the f32
+    system is re-initialized from the f64 residual each step (its own
+    scale), so the floor is a constant ~10 eps32."""
+    lin_tol = None
+    if opts.forcing == "ew":
+        if it > 0:
+            cand = 0.9 * (norms[-1] / norms[-2]) ** 2
+            safe = 0.9 * eta**2
+            eta = max(cand, safe) if safe > 0.1 else cand
+        eta = min(max(eta, opts.pcg_tol), 0.5)
+        lin_tol = eta
+    if opts.precision == "mixed":
+        floor = 1.2e-6
+    else:
+        floor = min(2.2e-14 * norm0 / norms[-1], 0.1)
+    return max(lin_tol if lin_tol is not None else opts.pcg_tol, floor), eta
+
+
 def _mixed_update_fn(u, x):
     """u + du in one fused device call (two eager ops would cost two
     ~30 ms tunnel dispatches per Newton step)."""
@@ -513,30 +542,7 @@ class NewtonSolver:
                 return u, True, rec
             lin_tol = None
             if opts.linear != "direct":
-                if opts.forcing == "ew":
-                    # EW choice 2 (gamma=0.9, alpha=2) with the standard
-                    # safeguard against over-tightening
-                    if it > 0:
-                        cand = 0.9 * (norms[-1] / norms[-2]) ** 2
-                        safe = 0.9 * eta**2
-                        eta = max(cand, safe) if safe > 0.1 else cand
-                    eta = min(max(eta, opts.pcg_tol), 0.5)
-                    lin_tol = eta
-                # precision guard: the PCG target is tol*||R||; late in
-                # Newton ||R|| is tiny and a fixed relative tol can demand an
-                # absolute residual below floating-point rounding — CG then
-                # stagnates (or breaks down) chasing it. The achievable
-                # ABSOLUTE residual is ~eps * problem scale: for the f64
-                # path that scale is ||R0|| (fixed tangent/residual scale),
-                # so floor the relative tol at 100 eps64 ||R0||/||R||; for
-                # the mixed path the f32 system is re-initialized from the
-                # f64 residual each step (its own scale), so the floor is a
-                # constant ~10 eps32. Early iterations are unaffected.
-                if self.options.precision == "mixed":
-                    floor = 1.2e-6
-                else:
-                    floor = min(2.2e-14 * norm0 / norm, 0.1)
-                lin_tol = max(lin_tol if lin_tol is not None else opts.pcg_tol, floor)
+                lin_tol, eta = newton_lin_tol(opts, it, norms, norm0, eta)
             u, lin_iters, lin_ok, lin_rel = self._step(
                 u, scale, lin_tol, r64=r64
             )
