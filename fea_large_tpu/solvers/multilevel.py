@@ -735,33 +735,26 @@ def build_multilevel_space(
     agg2 = aggregate_nodes(cent, max(1, n1 // max(target_coarse2, 1)))
     n2 = int(agg2.max()) + 1
 
-    # one pass: block diagonal of Ac1 and dense Ac2 = P2^T Ac1 P2
-    diag1 = np.zeros((n1, 3, 3))
-    nc3 = 3 * n2
-    Ac2 = np.zeros(nc3 * nc3)
+    # Ac1 = P1^T (M K0 M) P1 as a sparse product (scipy C++ — see
+    # `_host_k0_csr`; replaces the chunked einsum stream that dominated
+    # three-level setup), then its 3x3 block diagonal and the dense
+    # Ac2 = P2^T Ac1 P2
+    import scipy.sparse as sp
+
     ii = np.arange(3)
-    for slot_agg, blk, pair_valid in _coarse_entry_chunks(
-        mesh, lam, mu, agg1, free_mask
-    ):
-        e, ns = slot_agg.shape
-        # diagonal blocks: (s == t) pairs
-        diag_keys = slot_agg[:, :, None, None] * 9 + 3 * ii[:, None] + ii[None, :]
-        sel = np.arange(ns)
-        d_blk = blk[:, sel, sel]  # [e, ns, 3, 3]
-        diag1 += np.bincount(
-            diag_keys.reshape(-1), weights=d_blk.reshape(-1), minlength=n1 * 9
-        ).reshape(n1, 3, 3)
-        # level-2 dense accumulation
-        cd2 = 3 * agg2[slot_agg]  # [e, ns]
-        keys2 = (
-            (cd2[:, :, None, None, None] + ii[None, None, None, :, None]) * nc3
-            + cd2[:, None, :, None, None]
-            + ii[None, None, None, None, :]
-        )
-        Ac2 += np.bincount(
-            keys2.reshape(-1), weights=blk.reshape(-1), minlength=nc3 * nc3
-        )
-    Ac2 = Ac2.reshape(nc3, nc3)
+    K = _host_k0_csr(mesh, lam, mu, free_mask)
+    P1 = _prolongator_csr(coords, agg1, n1, 3)
+    A1 = (P1.T @ (K @ P1)).tocsr()
+    diag1 = np.zeros((n1, 3, 3))
+    for i in range(3):
+        rows = 3 * np.arange(n1) + i
+        sub = A1[rows]
+        for j in range(3):
+            diag1[:, i, j] = np.asarray(
+                sub[np.arange(n1), 3 * np.arange(n1) + j]
+            ).reshape(-1)
+    P2 = _prolongator_csr(cent, agg2, n2, 3)
+    Ac2 = np.asarray((P2.T @ (A1 @ P2)).todense())
 
     # masked inversion of the level-1 diagonal blocks: rows/cols of inactive
     # (fully fixed) components become identity before the 3x3 inversion
