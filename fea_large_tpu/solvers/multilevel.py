@@ -124,12 +124,19 @@ def aggregate_nodes(coords: np.ndarray, agg_size: int = 512) -> np.ndarray:
 
 
 def default_agg_size(n_nodes: int, target_coarse: int = 5000) -> int:
-    """Aggregate size targeting ~`target_coarse` aggregates. Benchmarked at
-    1M DOF (iterations / s-per-step): Nc 1.2k -> 111 / 16.2s; Nc 3.6k ->
-    92 / 13.9s; Nc 7.1k -> 71 / 11.7s — but the dense [3Nc, 3Nc] f32
-    Cholesky setup and per-iteration triangular solves grow with Nc;
-    ~Nc 5k balances both. A deeper hierarchy is the next step beyond."""
-    return int(np.clip(n_nodes // target_coarse, 16, 4096))
+    """Aggregate size targeting ~`target_coarse` aggregates, with the
+    target itself scaling as sqrt(N) beyond the 1M-DOF calibration point.
+
+    Calibration (BENCH_NOTES.md): at 1M DOF the fixed target balances the
+    dense [modes*Nc]^2 coarse apply against the iteration count (finer
+    coarse LOST: Nc 5k -> 1.218 s/step vs 2.7k -> 1.15); at 4M DOF the
+    4x-costlier matvec flips the balance and the finer coarse WINS
+    (Nc 4.5k -> 8.42 s/step vs 2.5k -> 9.23). A sqrt(N) target matches
+    both measured optima: ~2.5k at 1M, ~4.9k at 4M (modes=6 base)."""
+    ref_nodes = 342_361  # the 1M-DOF calibration mesh
+    scale = max(1.0, float(n_nodes) / ref_nodes) ** 0.5
+    target = int(target_coarse * scale)
+    return int(np.clip(n_nodes // target, 16, 4096))
 
 
 def _rbm_dvec(coords: np.ndarray, agg: np.ndarray, cent: np.ndarray,
