@@ -21,7 +21,10 @@ Schema (JSON):
   },
   "solver": {"linear": "direct"|"pcg"|"pcg_bcsr",
              "newton_rtol": 1e-10, "newton_atol": 1e-12, "max_newton": 30,
-             "pcg_tol": 1e-12, "pcg_maxiter": 5000, "max_bisections": 5},
+             "pcg_tol": 1e-12, "pcg_maxiter": 5000, "max_bisections": 5,
+             "precision": "f64"|"mixed", "preconditioner": ...,
+             "pallas": false},                       # Pallas element kernels
+                                                     # (mixed precision only)
   "partition": {"n_shards": 1},
   "output": {"dir": "out", "vtk": true, "npz": true}
 }
@@ -161,6 +164,7 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         agg_size=sv.get("agg_size"),
         coarse_modes=int(sv.get("coarse_modes", 3)),
         forcing=sv.get("forcing", "fixed"),
+        pallas=bool(sv.get("pallas", False)),
     )
     out = data.get("output", {})
     output = OutputSpec(

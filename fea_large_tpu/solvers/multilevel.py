@@ -181,24 +181,35 @@ def _aggregate_adjacency(conn: np.ndarray, agg: np.ndarray, n_agg: int):
 
 
 def _color_square_graph(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
-    """Greedy coloring of G^2 (distance-2 coloring of the aggregate graph):
-    same-color aggregates share no common neighbor, so a single probe vector
-    can carry one basis column per same-color aggregate without mixing."""
+    """Greedy first-fit coloring of G^2 (distance-2 coloring of the
+    aggregate graph): same-color aggregates share no common neighbor, so a
+    single probe vector can carry one basis column per same-color aggregate
+    without mixing.
+
+    The distance-<=2 adjacency is materialized once as a sparse boolean
+    product (scipy C++) and the per-vertex step is a vectorized first-unused
+    scan — the earlier per-vertex Python set construction was O(n_agg *
+    deg^2) and cost seconds of host setup at the sqrt(N)-scaled aggregate
+    counts (round-2 advisor finding). Same vertex order, same neighbor
+    sets => identical coloring."""
+    import scipy.sparse as sp
+
     n = len(indptr) - 1
+    A = sp.csr_matrix(
+        (np.ones(len(indices), np.int8), indices, indptr), shape=(n, n)
+    )
+    A2 = ((A @ A) + A).tocsr()  # paths of length 2 (incl. self) + length 1
     color = np.full(n, -1, np.int64)
-    neigh = [indices[indptr[i] : indptr[i + 1]] for i in range(n)]
     for v in range(n):
-        used = set()
-        for w in neigh[v]:
-            if color[w] >= 0:
-                used.add(int(color[w]))
-            for x in neigh[w]:
-                if color[x] >= 0:
-                    used.add(int(color[x]))
-        c = 0
-        while c in used:
-            c += 1
-        color[v] = c
+        nb = A2.indices[A2.indptr[v] : A2.indptr[v + 1]]
+        used = color[nb]
+        used = used[used >= 0]
+        if used.size == 0:
+            color[v] = 0
+            continue
+        mark = np.zeros(used.max() + 2, bool)
+        mark[used] = True
+        color[v] = int(np.argmin(mark))  # first unused color
     return color
 
 
@@ -547,7 +558,11 @@ def _host_k0_csr(mesh, lam, mu, free_mask, chunk=32768):
     E, npe = conn.shape
     n3 = 3 * mesh.n_nodes
     eye = np.eye(3)
-    rows_l, cols_l, vals_l = [], [], []
+    # accumulate a CSR per chunk: peak host memory is one chunk's COO
+    # triplets (~chunk*(3*npe)^2*16 B) plus the running CSR, instead of
+    # every chunk's triplets at once (~14 GB at 4M-DOF TET10 — round-2
+    # advisor finding)
+    K = sp.csr_matrix((n3, n3))
     for s in range(0, E, chunk):
         c = conn[s : s + chunk]
         e = len(c)
@@ -568,19 +583,17 @@ def _host_k0_csr(mesh, lam, mu, free_mask, chunk=32768):
         m = free_mask[c]  # [e, npe, 3]
         Ke *= m[:, :, :, None, None] * m[:, None, None, :, :]
         dof = (3 * c[:, :, None] + np.arange(3)).reshape(e, 3 * npe)
-        rows_l.append(
+        rows = (
             np.broadcast_to(dof[:, :, None], (e, 3 * npe, 3 * npe))
             .reshape(-1).astype(np.int32)
         )
-        cols_l.append(
+        cols = (
             np.broadcast_to(dof[:, None, :], (e, 3 * npe, 3 * npe))
             .reshape(-1).astype(np.int32)
         )
-        vals_l.append(Ke.reshape(-1))
-    K = sp.coo_matrix(
-        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
-        shape=(n3, n3),
-    ).tocsr()
+        K = K + sp.coo_matrix(
+            (Ke.reshape(-1), (rows, cols)), shape=(n3, n3)
+        ).tocsr()
     return K
 
 
