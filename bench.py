@@ -16,6 +16,11 @@ Two modes (FEA_BENCH_MODE):
   step — one Newton step at fixed linear tolerance 1e-6 (the round-1
     definition; upper-bounds the cost of the tightest step of the solve).
 
+The two modes are DIFFERENT metrics and must not be compared across rounds
+(round-2 VERDICT): "newton" divides a complete solve (whose early EW steps
+are cheap) by its step count; "step" times the expensive fixed-tolerance
+step alone. BENCH_NOTES.md records BOTH every round.
+
 Prints exactly ONE JSON line. Env overrides: FEA_BENCH_DOF (target DOF
 count, default 1_000_000), FEA_BENCH_REPS (timed repetitions, default 3),
 FEA_BENCH_PRECOND, FEA_BENCH_AGG, FEA_BENCH_PRECISION.

@@ -81,7 +81,42 @@ def main(n=16):
         "jacobi_apply": loop_time(
             lambda v: dep(v, apply_block_jacobi(inv_blocks, free32, v)), v0
         ),
+        # f32 internal force from an existing freeze state — the cost of a
+        # resid32 residual pass (round-3 fused Newton iteration) on top of
+        # the freeze the tangent needs anyway
+        "force_f32_from_state": loop_time(
+            lambda v: dep(v, soa_internal_force(soa32, state)), v0, reps=10
+        ),
+        # prepare-phase cost: nodal 3x3 diagonal blocks for block-Jacobi
+        "diag_blocks_f32": loop_time(
+            lambda v: dep(v, soa_diag_blocks(soa32, state)), v0, reps=10
+        ),
     }
+    import os
+
+    if os.environ.get("FEA_BREAKDOWN_COARSE"):
+        # two-level RBM coarse apply + a full PCG iteration body (matvec +
+        # coarse + Jacobi + the 3 dots/axpys) — the round-3 profile memo's
+        # per-iteration phase table
+        from fea_large_tpu.solvers.multilevel import build_coarse_space
+
+        coarse = build_coarse_space(
+            mesh, mat64, bc, modes=6, soa=soa32
+        )
+        phases["coarse_apply"] = loop_time(
+            lambda v: dep(v, coarse.apply(v)), v0
+        )
+
+        def pcg_iter_body(v):
+            q = soa_apply_tangent(soa32, state, v.T).T
+            pq = jnp.vdot(v, q)
+            alpha = 1.0 / jnp.maximum(pq, 1e-30)
+            r = v - alpha * q
+            z = apply_block_jacobi(inv_blocks, free32, r) + free32 * coarse.apply(r)
+            rz = jnp.vdot(r, z)
+            return z + (1e-12 * rz).astype(v.dtype) * v
+
+        phases["full_pcg_iteration"] = loop_time(pcg_iter_body, v0)
     if jax.default_backend() == "tpu":
         # Pallas element-block kernels vs the XLA SoA path, in-loop
         # (interpret mode off-TPU is orders slower — skip there)

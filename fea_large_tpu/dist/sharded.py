@@ -49,6 +49,7 @@ from fea_large_tpu.dist.partition import Partition, partition_mesh
 from fea_large_tpu.materials.base import Material
 from fea_large_tpu.mesh.core import Mesh
 from fea_large_tpu.ops.soa import (
+    ScatterBuckets,
     SoAProblem,
     SoAState,
     soa_apply_tangent,
@@ -87,7 +88,11 @@ class ShardedData(NamedTuple):
 class ShardedSoA(NamedTuple):
     """Per-shard SoA (element-axis-last) tables — the distributed analog of
     `ops.soa.SoAProblem` (f64 tables for the residual/parity path, f32 for
-    the mixed tangent/PCG)."""
+    the mixed tangent/PCG). `buckets` are the valence-bucketed
+    scatter-as-gather maps (ScatterBuckets) with a leading shard axis —
+    cap list and bucket node counts are unified across shards
+    (`ScatterBuckets.build_stacked`) so the pytree stacks; they are shared
+    by both dtypes (index maps are dtype-independent)."""
 
     gradN64: jnp.ndarray  # f64[S, q, npe, 3, El]
     detJxW64: jnp.ndarray  # f64[S, q, El]
@@ -96,6 +101,7 @@ class ShardedSoA(NamedTuple):
     conn_T: jnp.ndarray  # i32[S, npe, El] (into local node space)
     perm_T: jnp.ndarray  # i32[S, npe*El] sorted (a,e)-by-local-node
     segids_T: jnp.ndarray  # i32[S, npe*El]
+    buckets: ScatterBuckets  # leaves [S, nb, cap] / inv [S, No+Hl]
 
 
 class ShardedCoarse(NamedTuple):
@@ -111,26 +117,19 @@ class ShardedCoarse(NamedTuple):
     segids_own: jnp.ndarray  # i32[S, No] ascending (padded slots clamped)
     valid: jnp.ndarray  # f32[S, No] 1 for real owned nodes
     dvec_own: jnp.ndarray  # f32[S, No, 3] normalized rotational arm
-    #   (multilevel._rbm_dvec; zeros when modes=3)
+    #   (multilevel._rbm_dvec; 0-extent [S, 0, 3] when modes=3 — never read)
     chol: jnp.ndarray  # f32[modes*Nc, modes*Nc] replicated Cholesky factor
 
 
-class ShardedMultilevel(NamedTuple):
-    """Three-level additive hierarchy across the device mesh: the LARGE
-    level-1 aggregate space (Nc1 ~ N/16) is psum-replicated per application
-    (its block-diagonal solve is redundant per shard), telescoped onto the
-    small dense-Cholesky level 2 — the sharded analog of
-    solvers.multilevel.MultilevelSpace."""
+class ShardedProbe(NamedTuple):
+    """Transient per-shard tables for the SHARDED coarse-operator probing
+    assembly (freed after setup): the distance-2-coloring probe sweep runs
+    through the already-sharded tangent action (halo exchange + psum
+    restriction), so coarse setup peak memory is O(N/S) per device instead
+    of a full single-device SoA table set (round-2 VERDICT item 4)."""
 
-    agg1_own: jnp.ndarray  # i32[S, No]
-    perm1_own: jnp.ndarray  # i32[S, No]
-    segids1_own: jnp.ndarray  # i32[S, No] ascending (padded clamped)
-    valid: jnp.ndarray  # f32[S, No]
-    dinv1: jnp.ndarray  # f32[Nc1, 3, 3] replicated
-    agg2: jnp.ndarray  # i32[Nc1] replicated
-    perm2: jnp.ndarray  # i32[Nc1] replicated
-    segids2: jnp.ndarray  # i32[Nc1] replicated
-    chol2: jnp.ndarray  # f32[3Nc2, 3Nc2] replicated
+    Bn_own: jnp.ndarray  # f32[S, No, 3, modes] per-node RBM basis columns
+    color_own: jnp.ndarray  # i32[S, No] aggregate color (-1 at padding)
 
 
 @jax.jit
@@ -201,11 +200,14 @@ class ShardedNewtonSolver:
             raise ValueError("sharded solver supports linear='pcg' only")
         if self.options.precision not in ("f64", "mixed"):
             raise ValueError(f"unknown precision {self.options.precision!r}")
-        if self.options.preconditioner not in (
-            "jacobi", "two_level", "three_level"
-        ):
+        if self.options.preconditioner not in ("jacobi", "two_level"):
+            # three_level is an EXPERIMENTAL single-device option: it lost
+            # to the RBM two-level at every measured size (BENCH_NOTES.md
+            # 4M-DOF sweep: 14.98 vs 6.14 s/step) and is off the sharded
+            # program matrix (round-2 VERDICT item 8).
             raise ValueError(
-                f"unknown preconditioner {self.options.preconditioner!r}"
+                f"sharded preconditioner must be 'jacobi' or 'two_level', "
+                f"got {self.options.preconditioner!r}"
             )
         devices = list(jax.devices()) if devices is None else list(devices)
         S = len(devices)
@@ -244,6 +246,9 @@ class ShardedNewtonSolver:
         self._build_soa_data(gradN, detJxW, put)
         self._build_coarse(bc, put)
         self._build_programs()
+        # the coarse operator is probed THROUGH the sharded tangent action
+        # (programs must exist first); fills self.coarse.chol
+        self._run_coarse_probe()
 
     # ------------------------------------------------------------------
     def _build_soa_data(self, gradN, detJxW, put):
@@ -266,6 +271,17 @@ class ShardedNewtonSolver:
         # full copies so the per-shard static budget isn't inflated ~1/3.
         # (mixed needs BOTH: f64 residual + f32 tangent.)
         mixed = self.options.precision == "mixed"
+        # valence-bucketed scatter-as-gather maps, shard-stacked: the same
+        # ~3x-cheaper-than-scatter-add nodal reduction as the single-chip
+        # path (ops/soa.py ScatterBuckets — round-2 VERDICT item 3), and
+        # it makes the per-shard summation order deterministic by
+        # construction (no reliance on backend scatter-add ordering).
+        bk = ScatterBuckets.build_stacked(conn_T, part.n_owned + part.n_halo)
+        buckets = ScatterBuckets(
+            idx=tuple(put(i, INDEX_DTYPE) for i in bk.idx),
+            mask=tuple(put(m, jnp.float32) for m in bk.mask),
+            inv=put(bk.inv, INDEX_DTYPE),
+        )
         self.soa = ShardedSoA(
             gradN64=put(g_soa, DTYPE),
             detJxW64=put(v_soa, DTYPE),
@@ -274,6 +290,7 @@ class ShardedNewtonSolver:
             conn_T=put(conn_T, INDEX_DTYPE),
             perm_T=put(perms, INDEX_DTYPE),
             segids_T=put(segids, INDEX_DTYPE),
+            buckets=buckets,
         )
         self._material_p = (
             jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), self.material)
@@ -282,88 +299,91 @@ class ShardedNewtonSolver:
         )
 
     def _build_coarse(self, bc, put):
-        """Coarse correction maps: two_level (ShardedCoarse) or three_level
-        (ShardedMultilevel); None for plain block-Jacobi."""
+        """Host-side coarse maps for the two-level preconditioner (None for
+        plain block-Jacobi): geometric aggregation, RBM arms, distance-2
+        probe plan, and the per-shard node tables. All O(N) host numpy;
+        the coarse OPERATOR itself is probed through the sharded tangent
+        action afterwards (`_run_coarse_probe` — setup memory O(N/S) per
+        device, round-2 VERDICT item 4)."""
         part = self.part
         S = part.n_shards
         self.coarse = None
+        self._probe = None
+        self._probe_ctx = None
         self._n_agg = 0
         if self.options.preconditioner == "jacobi":
             return
-        bc_global = DirichletBC(
-            free_mask=jnp.asarray(
-                part.to_global(np.asarray(self.data.free_mask), self.mesh.n_nodes)
-            ),
-            values=jnp.zeros((self.mesh.n_nodes, 3)),
+        from fea_large_tpu.solvers.multilevel import (
+            _probe_plan,
+            _rbm_dvec,
+            aggregate_nodes,
+            default_agg_size,
         )
 
-        def shard_agg_maps(agg_global, n_agg):
-            agg_own = np.zeros((S, part.n_owned), np.int64)
-            valid = np.zeros((S, part.n_owned))
-            for p in range(S):
-                real = part.owned_global[p] >= 0
-                agg_own[p, real] = agg_global[part.owned_global[p][real]]
-                valid[p, real] = 1.0
-            perm, segids = _padded_sorted_maps(agg_own, valid, n_agg)
-            return agg_own, valid, perm, segids
+        modes = self.options.coarse_modes
+        coords = self.mesh.coords_host
+        agg_size = self.options.agg_size or default_agg_size(
+            self.mesh.n_nodes, target_coarse=5000 if modes == 3 else 2500
+        )
+        agg = aggregate_nodes(coords, agg_size)
+        n_agg = int(agg.max()) + 1
+        dvec_np = None
+        if modes == 6:
+            cnt = np.bincount(agg, minlength=n_agg).astype(float)
+            cent = np.stack(
+                [
+                    np.bincount(agg, weights=coords[:, d], minlength=n_agg)
+                    / cnt
+                    for d in range(3)
+                ],
+                axis=1,
+            )
+            dvec_np = _rbm_dvec(coords, agg, cent, n_agg)
+        color, Bn, dv, cm, zsrc, dst, nc = _probe_plan(
+            self.mesh.conn_host, agg, n_agg, modes, dvec_np
+        )
 
-        if self.options.preconditioner == "two_level":
-            from fea_large_tpu.ops.soa import SoAProblem
-            from fea_large_tpu.solvers.multilevel import build_coarse_space
-
-            modes = self.options.coarse_modes
-            # the coarse operator is assembled ONCE by on-device probing of
-            # the global-mesh tangent action (multilevel.py) — a transient
-            # single-device SoA table set (~2 GB at 10M DOF, freed after
-            # setup) in exchange for skipping the host sparse Galerkin
-            # product (minutes at that scale)
-            soa_global = SoAProblem.build(self.mesh, jnp.float32)
-            coarse = build_coarse_space(
-                self.mesh, self.material, bc_global,
-                agg_size=self.options.agg_size, modes=modes,
-                soa=soa_global,
-            )
-            del soa_global
-            agg_own, valid, perm_own, segids_own = shard_agg_maps(
-                np.asarray(coarse.agg), coarse.n_agg
-            )
-            dvec_local = (
-                part.from_global(np.asarray(coarse.dvec))
-                if modes == 6
-                else np.zeros((S, part.n_owned, 3))
-            )
-            self.coarse = ShardedCoarse(
-                agg_own=put(agg_own, INDEX_DTYPE),
-                perm_own=put(perm_own, INDEX_DTYPE),
-                segids_own=put(segids_own, INDEX_DTYPE),
-                valid=put(valid, jnp.float32),
-                dvec_own=put(dvec_local, jnp.float32),
-                chol=coarse.chol,  # replicated
-            )
-            self._n_agg = coarse.n_agg
-        else:  # three_level
-            from fea_large_tpu.solvers.multilevel import build_multilevel_space
-
-            ms = build_multilevel_space(
-                self.mesh, self.material, bc_global,
-                agg_size1=self.options.agg_size or 16,
-            )
-            agg1_own, valid, perm1_own, segids1_own = shard_agg_maps(
-                np.asarray(ms.agg1), ms.n_agg1
-            )
-            self.coarse = ShardedMultilevel(
-                agg1_own=put(agg1_own, INDEX_DTYPE),
-                perm1_own=put(perm1_own, INDEX_DTYPE),
-                segids1_own=put(segids1_own, INDEX_DTYPE),
-                valid=put(valid, jnp.float32),
-                dinv1=ms.dinv1,
-                agg2=ms.agg2,
-                perm2=ms.perm2,
-                segids2=ms.segids2,
-                chol2=ms.chol2,  # all replicated
-            )
-            self._n_agg = ms.n_agg2
-            self._n_agg1 = ms.n_agg1
+        agg_own = np.zeros((S, part.n_owned), np.int64)
+        valid = np.zeros((S, part.n_owned))
+        color_own = np.full((S, part.n_owned), -1, np.int64)
+        for p in range(S):
+            real = part.owned_global[p] >= 0
+            gid = part.owned_global[p][real]
+            agg_own[p, real] = agg[gid]
+            valid[p, real] = 1.0
+            color_own[p, real] = color[agg[gid]]
+        perm_own, segids_own = _padded_sorted_maps(agg_own, valid, n_agg)
+        dvec_local = (
+            part.from_global(dv) if modes == 6
+            # 0-extent placeholder: the modes=3 apply never reads it
+            # (round-2 advisor finding)
+            else np.zeros((S, 0, 3))
+        )
+        self.coarse = ShardedCoarse(
+            agg_own=put(agg_own, INDEX_DTYPE),
+            perm_own=put(perm_own, INDEX_DTYPE),
+            segids_own=put(segids_own, INDEX_DTYPE),
+            valid=put(valid, jnp.float32),
+            dvec_own=put(dvec_local, jnp.float32),
+            # placeholder with the real (static) shape/dtype;
+            # `_run_coarse_probe` fills the factor after the sharded
+            # programs exist. The factor dtype FOLLOWS the PCG dtype: an
+            # f32 cho_solve inside an otherwise-f64 PCG makes the
+            # preconditioner only f32-consistent and CG stalls at rel
+            # ~2e-5 on ill-conditioned meshes (observed on the elongated
+            # dryrun mesh) — the parity path must be f64 end-to-end.
+            chol=jnp.zeros((nc, nc), self._pcg_dtype),
+        )
+        self._n_agg = n_agg
+        self._probe_ctx = {
+            "cm": cm, "zsrc": zsrc, "dst": dst, "nc": nc,
+            "tables": ShardedProbe(
+                Bn_own=put(part.from_global(Bn), jnp.float32),
+                color_own=put(color_own, INDEX_DTYPE),
+            ),
+            # retained for probe_coarse_matrix()'s host cross-check
+            "agg": agg, "dvec": dvec_np, "modes": modes,
+        }
 
     # ------------------------------------------------------------------
     def _build_programs(self):
@@ -374,8 +394,6 @@ class ShardedNewtonSolver:
         pdt = self._pcg_dtype
         n_local = No + Hl
         n_agg = self._n_agg
-        n_agg1 = getattr(self, "_n_agg1", 0)
-        coarse_kind = opts.preconditioner
         fwd = [[(i, (i + k) % S) for i in range(S)] for k in range(1, kmax + 1)]
         bwd = [[(i, (i - k) % S) for i in range(S)] for k in range(1, kmax + 1)]
 
@@ -405,7 +423,9 @@ class ShardedNewtonSolver:
             return lax.psum(jnp.vdot(a, b), "shard")
 
         def _sq(t):
-            return type(t)(*(x[0] for x in t))
+            """Slice the leading shard axis off every leaf (inside the
+            shard body each per-shard arg arrives as [1, ...])."""
+            return jax.tree.map(lambda x: x[0], t)
 
         def p_of(soa: ShardedSoA, dtype) -> SoAProblem:
             g, v = (
@@ -413,13 +433,14 @@ class ShardedNewtonSolver:
                 if dtype == jnp.float64
                 else (soa.gradN32, soa.detJxW32)
             )
-            # buckets=None: per-shard scatter maps stay the direct
-            # segment-sum form (bucket shapes vary per shard and cannot be
-            # stacked on the shard axis; the perf path is single-chip)
+            # shard-stacked ScatterBuckets (built with unified caps/counts,
+            # ShardedSoA docstring): nodal reductions are the same
+            # deterministic bucketed scatter-as-gather as the single-chip
+            # hot path
             return SoAProblem(
                 gradN=g, detJxW=v, conn_T=soa.conn_T,
-                perm_T=soa.perm_T, segids_T=soa.segids_T, buckets=None,
-                n_nodes=n_local,
+                perm_T=soa.perm_T, segids_T=soa.segids_T,
+                buckets=soa.buckets, n_nodes=n_local,
             )
 
         def _residual64(d, soa, u_own, scale):
@@ -444,63 +465,44 @@ class ShardedNewtonSolver:
         def _sq_coarse(coarse):
             if coarse is None:
                 return None
-            if coarse_kind == "two_level":
-                return ShardedCoarse(
-                    agg_own=coarse.agg_own[0], perm_own=coarse.perm_own[0],
-                    segids_own=coarse.segids_own[0], valid=coarse.valid[0],
-                    dvec_own=coarse.dvec_own[0],
-                    chol=coarse.chol,  # replicated
-                )
-            return ShardedMultilevel(
-                agg1_own=coarse.agg1_own[0], perm1_own=coarse.perm1_own[0],
-                segids1_own=coarse.segids1_own[0], valid=coarse.valid[0],
-                dinv1=coarse.dinv1, agg2=coarse.agg2, perm2=coarse.perm2,
-                segids2=coarse.segids2, chol2=coarse.chol2,
+            return ShardedCoarse(
+                agg_own=coarse.agg_own[0], perm_own=coarse.perm_own[0],
+                segids_own=coarse.segids_own[0], valid=coarse.valid[0],
+                dvec_own=coarse.dvec_own[0],
+                chol=coarse.chol,  # replicated
             )
 
+        def coarse_restrict(coarse, t):
+            """P^T with psum-replicated result: [No, 3] (or [No, modes]
+            pre-extended) -> [n_agg, modes]. Padded owned slots must carry
+            zeros (their clamped segment ids alias the last aggregate)."""
+            rc = jax.ops.segment_sum(
+                t[coarse.perm_own], coarse.segids_own, num_segments=n_agg,
+                indices_are_sorted=True,
+            )
+            return lax.psum(rc, "shard")
+
         def coarse_apply(coarse, r):
-            """Additive coarse correction with psum-replicated coarse
-            residual; padded owned slots are zeroed by `valid` (their
-            clamped segment ids alias the last aggregate)."""
-            if coarse_kind == "two_level":
-                modes = coarse.chol.shape[0] // n_agg  # static at trace
-                rp = r[coarse.perm_own] * coarse.valid[coarse.perm_own][:, None]
-                if modes == 6:
-                    # RBM restrict: modes 3+k = sum (d_n x r_n)_k
-                    # (multilevel.CoarseSpace.restrict)
-                    dp = coarse.dvec_own[coarse.perm_own].astype(r.dtype)
-                    rp = jnp.concatenate([rp, jnp.cross(dp, rp)], axis=1)
-                rc = jax.ops.segment_sum(
-                    rp, coarse.segids_own, num_segments=n_agg,
-                    indices_are_sorted=True,
+            """Additive two-level coarse correction (restrict, redundant
+            replicated dense solve, prolong locally)."""
+            modes = coarse.chol.shape[0] // n_agg  # static at trace
+            rp = r * coarse.valid[:, None]
+            if modes == 6:
+                # RBM restrict: modes 3+k = sum (d_n x r_n)_k
+                # (multilevel.CoarseSpace.restrict)
+                dp = coarse.dvec_own.astype(r.dtype)
+                rp = jnp.concatenate([rp, jnp.cross(dp, rp)], axis=1)
+            rc = coarse_restrict(coarse, rp)
+            xc = jsl.cho_solve(
+                (coarse.chol, True), rc.reshape(-1).astype(coarse.chol.dtype)
+            ).reshape(n_agg, modes).astype(r.dtype)
+            za = xc[coarse.agg_own]
+            if modes == 6:
+                # prolong: (P xc)_n = t_A + omega_A x d_n
+                return za[:, :3] + jnp.cross(
+                    za[:, 3:], coarse.dvec_own.astype(r.dtype)
                 )
-                rc = lax.psum(rc, "shard")
-                xc = jsl.cho_solve(
-                    (coarse.chol, True), rc.reshape(-1).astype(coarse.chol.dtype)
-                ).reshape(n_agg, modes).astype(r.dtype)
-                za = xc[coarse.agg_own]
-                if modes == 6:
-                    # prolong: (P xc)_n = t_A + omega_A x d_n
-                    return za[:, :3] + jnp.cross(
-                        za[:, 3:], coarse.dvec_own.astype(r.dtype)
-                    )
-                return za
-            rp = r[coarse.perm1_own] * coarse.valid[coarse.perm1_own][:, None]
-            rc1 = jax.ops.segment_sum(
-                rp, coarse.segids1_own, num_segments=n_agg1,
-                indices_are_sorted=True,
-            )
-            rc1 = lax.psum(rc1, "shard")
-            z1 = jnp.einsum("nij,nj->ni", coarse.dinv1.astype(r.dtype), rc1)
-            rc2 = jax.ops.segment_sum(
-                rc1[coarse.perm2], coarse.segids2, num_segments=n_agg,
-                indices_are_sorted=True,
-            )
-            x2 = jsl.cho_solve(
-                (coarse.chol2, True), rc2.reshape(-1).astype(coarse.chol2.dtype)
-            ).reshape(n_agg, 3).astype(r.dtype)
-            zc1 = z1 + x2[coarse.agg2]
-            return zc1[coarse.agg1_own]
+            return za
 
         def _make_ops(d, soa, coarse, state, inv_blocks, freeN):
             p = p_of(soa, pdt)
@@ -563,20 +565,55 @@ class ShardedNewtonSolver:
                 st.rz, st.rr, st.k, st.ok, st.stop,
             )
 
+        def probe_body(d, soa, coarse, pt, cm):
+            """Coarse-operator probing THROUGH the sharded tangent action
+            (round-2 VERDICT item 4): for each (color, mode) probe, build
+            the masked probe vector from the per-shard tables, apply the
+            u=0-frozen tangent with halo exchange, restrict per aggregate
+            with a psum — the response stack Z [n_probes, n_agg, modes] is
+            replicated; peak device memory O(N/S). Same math as the
+            single-device `multilevel._probe_run` (guarded by
+            tests/test_dist.py::test_sharded_probed_coarse_matches_host)."""
+            d, soa = _sq(d), _sq(soa)
+            coarse = _sq_coarse(coarse)
+            pt = _sq(pt)
+            modes = pt.Bn_own.shape[2]  # static at trace
+            freeN = d.free_mask.astype(pdt)
+            p = p_of(soa, pdt)
+            state0 = soa_freeze(
+                p, material_p, jnp.zeros((3, n_local), pdt)
+            )
+
+            def one(cm1):
+                c, m = cm1[0], cm1[1]
+                col = lax.dynamic_index_in_dim(
+                    pt.Bn_own, m, axis=2, keepdims=False
+                ).astype(pdt)  # [No, 3]
+                v = jnp.where(pt.color_own == c, 1.0, 0.0).astype(pdt)[
+                    :, None
+                ] * col
+                vm = v * freeN
+                v_full = jnp.concatenate([vm, halo_gather(d, vm)], axis=0)
+                y_loc = soa_apply_tangent(p, state0, v_full.T).T
+                y = (y_loc[:No] + halo_reduce(d, y_loc[No:])) * freeN
+                t = y * coarse.valid[:, None].astype(pdt)
+                if modes == 6:
+                    dp = coarse.dvec_own.astype(pdt)
+                    t = jnp.concatenate([t, jnp.cross(dp, t)], axis=1)
+                return coarse_restrict(coarse, t)
+
+            return lax.map(one, cm)
+
         mesh = self.jmesh
         data_specs = ShardedData(*([P("shard")] * len(ShardedData._fields)))
-        soa_specs = ShardedSoA(*([P("shard")] * len(ShardedSoA._fields)))
+        # per-leaf specs (the buckets leaves are nested tuples)
+        soa_specs = jax.tree.map(lambda _: P("shard"), self.soa)
         if self.coarse is None:
             coarse_specs = None
-        elif coarse_kind == "two_level":
+        else:
             coarse_specs = ShardedCoarse(
                 P("shard"), P("shard"), P("shard"), P("shard"), P("shard"),
                 P(),
-            )
-        else:
-            coarse_specs = ShardedMultilevel(
-                P("shard"), P("shard"), P("shard"), P("shard"),
-                P(), P(), P(), P(), P(),
             )
         st_specs = PCGState(
             P("shard"), P("shard"), P("shard"), P("shard"),
@@ -618,6 +655,81 @@ class ShardedNewtonSolver:
                 ),
                 out_specs=st_specs, check_vma=False,
             )
+        )
+        if self.coarse is not None:
+            self._probe = jax.jit(
+                shard_map(
+                    probe_body, mesh=mesh,
+                    in_specs=(
+                        data_specs, soa_specs, coarse_specs,
+                        ShardedProbe(P("shard"), P("shard")), P(),
+                    ),
+                    out_specs=P(), check_vma=False,
+                )
+            )
+
+    # ------------------------------------------------------------------
+    def _run_coarse_probe(self):
+        """Probe + assemble + factor the coarse operator (setup, once):
+        sharded probe sweep -> replicated response stack Z -> on-device
+        dense scatter/symmetrize (`multilevel._assemble_dense_coarse`) ->
+        BC ridge + f32 Cholesky. Frees the transient probe tables."""
+        if self.coarse is None:
+            return
+        from fea_large_tpu.solvers.multilevel import (
+            _assemble_dense_coarse,
+            _ridge_and_factor,
+        )
+
+        ctx = self._probe_ctx
+        Z = self._probe(
+            self.data, self.soa, self.coarse, ctx["tables"],
+            jnp.asarray(ctx["cm"]),
+        )
+        Ac = _assemble_dense_coarse(
+            Z.reshape(-1).astype(self._pcg_dtype), ctx["zsrc"], ctx["dst"],
+            nc=ctx["nc"],
+        )
+        self.coarse = self.coarse._replace(chol=_ridge_and_factor(Ac))
+        self._probe_ctx = {
+            k: v for k, v in ctx.items() if k in ("agg", "dvec", "modes")
+        }
+
+    def probe_coarse_matrix(self) -> jnp.ndarray:
+        """The probed (pre-ridge) dense coarse matrix Ac — test hook for
+        the parity check against the host Galerkin product
+        (`multilevel._host_coarse_matrix[_rbm]` on the same aggregation,
+        tests/test_dist.py)."""
+        from fea_large_tpu.solvers.multilevel import (
+            _assemble_dense_coarse,
+            _probe_plan,
+        )
+
+        ctx = self._probe_ctx
+        agg, dvec, modes = ctx["agg"], ctx["dvec"], ctx["modes"]
+        color, Bn, dv, cm, zsrc, dst, nc = _probe_plan(
+            self.mesh.conn_host, agg, self._n_agg, modes, dvec
+        )
+        part = self.part
+        S = part.n_shards
+        color_own = np.full((S, part.n_owned), -1, np.int64)
+        for p in range(S):
+            real = part.owned_global[p] >= 0
+            color_own[p, real] = color[agg[part.owned_global[p][real]]]
+        sh = self._sharding
+        tables = ShardedProbe(
+            Bn_own=jax.device_put(
+                jnp.asarray(part.from_global(Bn), jnp.float32), sh
+            ),
+            color_own=jax.device_put(
+                jnp.asarray(color_own, INDEX_DTYPE), sh
+            ),
+        )
+        Z = self._probe(
+            self.data, self.soa, self.coarse, tables, jnp.asarray(cm)
+        )
+        return _assemble_dense_coarse(
+            Z.reshape(-1).astype(jnp.float32), zsrc, dst, nc=nc
         )
 
     # ------------------------------------------------------------------
@@ -692,7 +804,6 @@ class ShardedNewtonSolver:
         # have leading dim == S (e.g. Nc1 == n_shards on a tiny mesh).
         sharded_fields = {
             "agg_own", "perm_own", "segids_own", "valid", "dvec_own",
-            "agg1_own", "perm1_own", "segids1_own",
         }
         coarse_sharded = 0
         coarse_replicated = 0

@@ -116,40 +116,105 @@ class ScatterBuckets(NamedTuple):
 
     idx: tuple  # per bucket: i32[nb, v] positions into the flat [npe*E] data
     mask: tuple  # per bucket: f32[nb, v] 1 for real entries
-    inv: jnp.ndarray  # i32[N] concatenated-bucket order -> node order
+    inv: jnp.ndarray  # i32[N] node -> position in the concatenated buckets
 
     @staticmethod
-    def build(conn_T: np.ndarray, n_nodes: int) -> "ScatterBuckets":
-        flat = np.asarray(conn_T).reshape(-1)
-        counts = np.bincount(flat, minlength=n_nodes)
-        order = np.argsort(flat, kind="stable").astype(np.int64)
-        starts = np.zeros(n_nodes + 1, np.int64)
-        np.cumsum(counts, out=starts[1:])
-        cmax = int(counts.max()) if n_nodes else 1
+    def _caps_for(cmax: int) -> list:
         caps, cap = [], 1
         while cap < max(cmax, 1):
             cap *= 2
             caps.append(cap)
-        if not caps:
-            caps = [1]
-        idx_t, mask_t, node_order = [], [], []
+        return caps or [1]
+
+    @staticmethod
+    def _host_build(flat: np.ndarray, n_nodes: int, caps: list,
+                    nb_min: list | None = None):
+        """(idx list, mask list, inv) in numpy, one entry per cap in `caps`
+        (possibly 0-row). `nb_min[b]` pads bucket b's node count with dummy
+        rows (idx 0, mask 0) so per-shard buckets can be stacked on a shard
+        axis (`build_stacked`)."""
+        counts = np.bincount(flat, minlength=n_nodes)
+        order = np.argsort(flat, kind="stable").astype(np.int64)
+        starts = np.zeros(n_nodes + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        idx_t, mask_t = [], []
+        inv = np.zeros(n_nodes, np.int64)
+        off = 0
         lo = -1  # first bucket also takes unreferenced (count 0) nodes
-        for cap in caps:
+        for bi, cap in enumerate(caps):
             sel = np.nonzero((counts > lo) & (counts <= cap))[0]
             lo = cap
-            if len(sel) == 0:
-                continue
             c = counts[sel]
-            off = np.minimum(np.arange(cap)[None, :], np.maximum(c - 1, 0)[:, None])
-            pos = np.minimum(starts[sel][:, None] + off, len(order) - 1)
-            idx_t.append(jnp.asarray(order[pos], INDEX_DTYPE))
-            mask_t.append(jnp.asarray(np.arange(cap)[None, :] < c[:, None], jnp.float32))
-            node_order.append(sel)
-        inv = np.empty(n_nodes, np.int64)
-        inv[np.concatenate(node_order)] = np.arange(n_nodes)
+            span = np.minimum(
+                np.arange(cap)[None, :], np.maximum(c - 1, 0)[:, None]
+            )
+            pos = np.minimum(starts[sel][:, None] + span, max(len(order) - 1, 0))
+            idx = order[pos]
+            mask = (np.arange(cap)[None, :] < c[:, None]).astype(np.float32)
+            inv[sel] = off + np.arange(len(sel))
+            if nb_min is not None and len(sel) < nb_min[bi]:
+                pad = nb_min[bi] - len(sel)
+                idx = np.concatenate([idx, np.zeros((pad, cap), np.int64)])
+                mask = np.concatenate([mask, np.zeros((pad, cap), np.float32)])
+            off += idx.shape[0]
+            idx_t.append(idx)
+            mask_t.append(mask)
+        return idx_t, mask_t, inv
+
+    @staticmethod
+    def build(conn_T: np.ndarray, n_nodes: int) -> "ScatterBuckets":
+        flat = np.asarray(conn_T).reshape(-1)
+        cmax = int(np.bincount(flat, minlength=n_nodes).max()) if n_nodes else 1
+        caps = ScatterBuckets._caps_for(cmax)
+        idx_t, mask_t, inv = ScatterBuckets._host_build(flat, n_nodes, caps)
+        keep = [b for b in range(len(caps)) if idx_t[b].shape[0] > 0]
         return ScatterBuckets(
-            idx=tuple(idx_t), mask=tuple(mask_t),
+            idx=tuple(jnp.asarray(idx_t[b], INDEX_DTYPE) for b in keep),
+            mask=tuple(jnp.asarray(mask_t[b]) for b in keep),
             inv=jnp.asarray(inv, INDEX_DTYPE),
+        )
+
+    @staticmethod
+    def build_stacked(conn_T_shards: np.ndarray, n_nodes: int):
+        """Per-shard buckets with a leading shard axis (numpy leaves).
+
+        `conn_T_shards` is i32[S, npe, El] (shard-local connectivity, padded
+        elements included — their values are summed with zero data so any
+        node ids they carry are harmless). Cap list and per-bucket node
+        counts are unified across shards so the per-shard pytrees stack into
+        [S, nb, cap] leaves, `shard_map`-compatible; inside the shard body a
+        leaf sliced to one shard is a valid single-shard ScatterBuckets.
+        Returns numpy arrays (caller device_puts with its sharding)."""
+        conn_T_shards = np.asarray(conn_T_shards)
+        S = conn_T_shards.shape[0]
+        flats = [conn_T_shards[p].reshape(-1) for p in range(S)]
+        cmax = max(
+            int(np.bincount(f, minlength=n_nodes).max()) for f in flats
+        ) if n_nodes else 1
+        caps = ScatterBuckets._caps_for(cmax)
+        # pass 1: per-bucket node counts per shard -> unified maxima
+        nb = [0] * len(caps)
+        for f in flats:
+            counts = np.bincount(f, minlength=n_nodes)
+            lo = -1
+            for bi, cap in enumerate(caps):
+                nb[bi] = max(nb[bi], int(((counts > lo) & (counts <= cap)).sum()))
+                lo = cap
+        keep = [b for b in range(len(caps)) if nb[b] > 0]
+        # pass 2: build each shard against the unified (caps, nb) shape
+        per = [
+            ScatterBuckets._host_build(f, n_nodes, caps, nb_min=nb)
+            for f in flats
+        ]
+        return ScatterBuckets(
+            idx=tuple(
+                np.stack([per[p][0][b] for p in range(S)]).astype(np.int32)
+                for b in keep
+            ),
+            mask=tuple(
+                np.stack([per[p][1][b] for p in range(S)]) for b in keep
+            ),
+            inv=np.stack([per[p][2] for p in range(S)]).astype(np.int32),
         )
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:

@@ -244,25 +244,18 @@ def _probe_run(soa, state0, free32, agg_j, Bn, dvec, color_node, cm,
     return jax.lax.map(probe, cm)
 
 
-def _device_coarse_matrix_probing(
-    soa, material32, free_mask, coords, agg, dvec, n_agg, modes, conn
-):
-    """Galerkin coarse matrix Ac = P^T (M K M) P assembled ON DEVICE by
-    graph-coloring probing: one masked f32 tangent-action probe (the SAME
-    `ops.soa` matvec PCG uses, frozen at u=0) per (color of the aggregate
-    distance-2 graph, mode), restricted per aggregate and attributed to
-    columns via the precomputed neighbor map. Replaces the host sparse
-    assembly on the hot setup path: ~n_colors*modes device matvecs (tens)
-    instead of a 210M-entry host sparse product (BENCH_NOTES has the
-    measured setup progression).
+def _probe_plan(conn, agg, n_agg, modes, dvec):
+    """Host-side plan shared by the single-device and SHARDED probing
+    coarse assemblies: distance-2 coloring of the aggregate graph, per-node
+    RBM basis table, the (color, mode) probe schedule, and the flat
+    scatter indices that place each probe response block into the dense
+    [nc, nc] coarse matrix.
 
-    Exactness: the hyperelastic tangent at u=0 IS linear elasticity (see
-    `build_coarse_space`), and the distance-2 coloring guarantees every
-    probe response block comes from exactly one excited aggregate, so this
-    equals `_host_coarse_matrix`/`_host_coarse_matrix_rbm` up to f32
-    arithmetic (guarded by tests/test_multilevel.py::
-    test_probing_coarse_matches_host).
-    """
+    Returns (color [n_agg], Bn [N, 3, modes] f32, d [N, 3] f32 normalized
+    arms (zeros when modes=3), cm [n_probes, 2] i32, src, dst, nc):
+    response stack layout Z[c*modes + m, B, n] -> Ac[modes*B + n,
+    modes*A + m] with A = attr[B, c] the unique same-color excited
+    neighbor (distance-2 invariant)."""
     N = len(agg)
     indptr, indices = _aggregate_adjacency(conn, agg, n_agg)
     color = _color_square_graph(indptr, indices)
@@ -287,9 +280,9 @@ def _device_coarse_matrix_probing(
         Bn[:, 1, 3], Bn[:, 2, 3] = -d[:, 2], d[:, 1]
         Bn[:, 0, 4], Bn[:, 2, 4] = d[:, 2], -d[:, 0]
         Bn[:, 0, 5], Bn[:, 1, 5] = -d[:, 1], d[:, 0]
-    # (color, mode) id list; probe vectors are built ON DEVICE from the
-    # small per-node tables (shipping the [P, N, 3] probe stack through the
-    # tunneled host->device link would dominate the setup time)
+    # (color, mode) probe schedule; probe vectors are built ON DEVICE from
+    # the small per-node tables (shipping the [P, N, 3] probe stack through
+    # the tunneled host->device link would dominate the setup time)
     cm = np.stack(
         [
             np.repeat(np.arange(n_colors), modes),
@@ -297,6 +290,55 @@ def _device_coarse_matrix_probing(
         ],
         axis=1,
     ).astype(np.int32)
+
+    nc = modes * n_agg
+    mm = np.arange(modes)
+    dst_l, src_l = [], []
+    for c in range(n_colors):
+        Bsel = np.nonzero(attr[:, c] >= 0)[0]
+        if len(Bsel) == 0:
+            continue
+        A = attr[Bsel, c]
+        # Ac[modes*B + n, modes*A + m] = Z[c, m, B, n]
+        rows = modes * Bsel[:, None, None] + mm[None, :, None]  # [B, n, 1]
+        cols = modes * A[:, None, None] + mm[None, None, :]  # [B, 1, m]
+        dst_l.append((rows * nc + cols).reshape(-1))
+        # Z flat index of [c, m, B, n]
+        zsrc = (
+            ((c * modes + mm[None, None, :]) * n_agg + Bsel[:, None, None])
+            * modes
+            + mm[None, :, None]
+        )
+        src_l.append(zsrc.reshape(-1))
+    # flat dst indices span nc*nc: i32 covers nc up to ~46k (nc=30k at the
+    # largest swept aggregate count); fall back to i64 beyond
+    dst_dtype = INDEX_DTYPE if nc * nc < np.iinfo(np.int32).max else jnp.int64
+    dst = jnp.asarray(np.concatenate(dst_l), dst_dtype)
+    zsrc = jnp.asarray(np.concatenate(src_l), INDEX_DTYPE)
+    return color, Bn, d, cm, zsrc, dst, nc
+
+
+def _device_coarse_matrix_probing(
+    soa, material32, free_mask, coords, agg, dvec, n_agg, modes, conn
+):
+    """Galerkin coarse matrix Ac = P^T (M K M) P assembled ON DEVICE by
+    graph-coloring probing: one masked f32 tangent-action probe (the SAME
+    `ops.soa` matvec PCG uses, frozen at u=0) per (color of the aggregate
+    distance-2 graph, mode), restricted per aggregate and attributed to
+    columns via the precomputed neighbor map. Replaces the host sparse
+    assembly on the hot setup path: ~n_colors*modes device matvecs (tens)
+    instead of a 210M-entry host sparse product (BENCH_NOTES has the
+    measured setup progression).
+
+    Exactness: the hyperelastic tangent at u=0 IS linear elasticity (see
+    `build_coarse_space`), and the distance-2 coloring guarantees every
+    probe response block comes from exactly one excited aggregate, so this
+    equals `_host_coarse_matrix`/`_host_coarse_matrix_rbm` up to f32
+    arithmetic (guarded by tests/test_multilevel.py::
+    test_probing_coarse_matches_host).
+    """
+    N = len(agg)
+    color, Bn, d, cm, zsrc, dst, nc = _probe_plan(conn, agg, n_agg, modes, dvec)
     # jitted: the eager SoA freeze costs ~30 ms tunnel dispatch per unrolled
     # op (hundreds of ops at TET10 q=4 — measured 19 s eager vs ~1 s jitted)
     state0 = _soa_freeze_jit(soa, material32, jnp.zeros((3, N), jnp.float32))
@@ -318,32 +360,8 @@ def _device_coarse_matrix_probing(
     # ~1 GB host->device transfer over the tunnel — the dominant setup
     # cost after probing. Instead scatter the (small) probe-response stack
     # Z straight into the device-resident dense matrix: host only builds
-    # the index vectors (a few MB).
-    nc = modes * n_agg
-    mm = np.arange(modes)
-    dst_l, src_l = [], []
-    for c in range(n_colors):
-        Bsel = np.nonzero(attr[:, c] >= 0)[0]
-        if len(Bsel) == 0:
-            continue
-        A = attr[Bsel, c]
-        # Ac[modes*B + n, modes*A + m] = Z[c, m, B, n]
-        rows = modes * Bsel[:, None, None] + mm[None, :, None]  # [B, n, 1]
-        cols = modes * A[:, None, None] + mm[None, None, :]  # [B, 1, m]
-        dst_l.append((rows * nc + cols).reshape(-1))
-        # Z flat index of [c, m, B, n]
-        src = (
-            ((c * modes + mm[None, None, :]) * n_agg + Bsel[:, None, None])
-            * modes
-            + mm[None, :, None]
-        )
-        src_l.append(src.reshape(-1))
-    # flat dst indices span nc*nc: i32 covers nc up to ~46k (nc=30k at the
-    # largest swept aggregate count); fall back to i64 beyond
-    dst_dtype = INDEX_DTYPE if nc * nc < np.iinfo(np.int32).max else jnp.int64
-    dst = jnp.asarray(np.concatenate(dst_l), dst_dtype)
-    src = jnp.asarray(np.concatenate(src_l), INDEX_DTYPE)
-    return _assemble_dense_coarse(Z.reshape(-1), src, dst, nc=nc)
+    # the index vectors (a few MB, precomputed in `_probe_plan`).
+    return _assemble_dense_coarse(Z.reshape(-1), zsrc, dst, nc=nc)
 
 
 @functools.partial(jax.jit, static_argnames=("nc",))

@@ -73,6 +73,10 @@ class SolverOptions:
     newton_atol: float = 1e-12
     max_newton: int = 30
     pcg_tol: float = 1e-12
+    #: iteration budget. On the single-device paths this is a hard bound;
+    #: the SHARDED solver compiles one fixed-length chunk program, so its
+    #: final chunk may overshoot by at most pcg_chunk-1 iterations (a soft
+    #: bound there — documented trade: one compiled program instead of two).
     pcg_maxiter: int = 5000
     pcg_chunk: int = 250  # CG iterations per device call (mixed path)
     max_bisections: int = 5
@@ -332,6 +336,72 @@ def _mixed_update_fn(u, x):
     return u + x.astype(u.dtype)
 
 
+def _mixed_newton_iter_fn(
+    u, x_prev, scale, prev_norm, eta_prev, first_it, stop_newton, pcg_tol,
+    soa64, soa, material, material32, bc, f_ext, coarse,
+    *, chunk_iters, use_pallas, use_ew, resid32,
+):
+    """ONE fused device program per mixed-precision Newton iteration
+    (round-3 host-orchestration cut): update the iterate with the previous
+    direction, evaluate the residual + its norm, derive the
+    Eisenstat-Walker forcing tolerance ON DEVICE from the previous norms,
+    freeze the f32 tangent, build block-Jacobi, and run the first bounded
+    CG chunk — all in a single dispatch. The host then needs exactly one
+    batched device_get per Newton iteration (norm, eta, tol + the chunk
+    control scalars) instead of two dispatch+fetch pairs; at ~30 ms per
+    tunnel round trip that is ~10% of a 1M-DOF step.
+
+    `resid32` (static) evaluates the residual with the f32 element pass
+    reusing the tangent freeze state — exact enough while the Newton
+    residual is far above the f32 rounding floor (the host enables it only
+    while ||R|| > 3e-2 ||R0||; the convergence-determining late iterations
+    always use the f64 pass, preserving the 1e-8 parity contract).
+
+    When the new norm already satisfies `stop_newton`, the PCG stop target
+    is inflated (1e30 * ||b||) so the primed Krylov state exits after zero
+    iterations and the host discards it — the wasted freeze costs ~40 ms
+    once per solve, far less than a separate residual program round trip
+    every iteration."""
+    u = u + x_prev.astype(u.dtype)
+    free32 = bc.free_mask.astype(jnp.float32)
+    u32_T = u.astype(jnp.float32).T
+    if use_pallas:
+        from fea_large_tpu.ops.pallas_kernels import soa_freeze_pallas
+
+        state = soa_freeze_pallas(soa, material32, u32_T)
+    else:
+        state = soa_freeze(soa, material32, u32_T)
+    if resid32:
+        f_int_T = soa_internal_force(soa, state)  # [3, N] f32, from state
+        b = (
+            scale.astype(jnp.float32) * f_ext.astype(jnp.float32) - f_int_T.T
+        ) * free32
+        norm = jnp.linalg.norm(b).astype(jnp.float64)
+    else:
+        b64, norm = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
+        b = b64.astype(jnp.float32)
+    # Eisenstat-Walker choice-2 forcing + mixed-precision floor, the device
+    # mirror of `newton_lin_tol` (same f64 arithmetic -> identical values)
+    if use_ew:
+        cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
+        safe = 0.9 * eta_prev**2
+        eta = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
+        eta = jnp.where(first_it, 0.5, eta)
+        eta = jnp.clip(eta, pcg_tol.astype(jnp.float64), 0.5)
+        lin_tol = jnp.maximum(eta, 1.2e-6)
+    else:
+        eta = jnp.full((), 0.5, jnp.float64)
+        lin_tol = jnp.maximum(pcg_tol.astype(jnp.float64), 1.2e-6)
+    diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
+    inv_blocks = jacobi_inverse_blocks(diag, free32)
+    tol_eff = jnp.where(norm <= stop_newton, 1e30, lin_tol).astype(jnp.float32)
+    matvec = lambda v: _mixed_matvec(soa, state, free32.T, v, use_pallas)  # noqa: E731
+    precond = _mixed_precond(inv_blocks, free32, coarse)
+    st = pcg_init(matvec, b, preconditioner=precond, tol=tol_eff)
+    st = pcg_chunk(matvec, st, preconditioner=precond, maxiter=chunk_iters)
+    return u, st, state, inv_blocks, b, norm, eta, lin_tol
+
+
 _residual_jit = jax.jit(_residual_fn)
 _residual_soa_jit = jax.jit(_residual_soa_fn)
 _mixed_update_jit = jax.jit(_mixed_update_fn)
@@ -341,6 +411,10 @@ _step_bcsr_jit = jax.jit(_step_bcsr_fn)
 _mixed_prepare_jit = jax.jit(_mixed_prepare_fn, static_argnames="use_pallas")
 _mixed_chunk_jit = jax.jit(
     _mixed_chunk_fn, static_argnames=("n_iters", "use_pallas")
+)
+_mixed_newton_iter_jit = jax.jit(
+    _mixed_newton_iter_fn,
+    static_argnames=("chunk_iters", "use_pallas", "use_ew", "resid32"),
 )
 
 
@@ -518,9 +592,111 @@ class NewtonSolver:
         return self._step(u, scale)
 
     # -- host control loop ---------------------------------------------------
+    def _newton_mixed(self, u, scale) -> tuple[jnp.ndarray, bool, IncrementRecord]:
+        """Mixed-precision Newton loop on the FUSED per-iteration program
+        (`_mixed_newton_iter_fn`): one device dispatch + one batched
+        device_get per Newton iteration. Semantically identical to the
+        generic loop below (same EW forcing values — the device mirror
+        computes them in the same f64 arithmetic; same convergence and
+        bisection behavior), minus two tunnel round trips and one f64
+        element pass per iteration."""
+        opts = self.options
+        t0 = time.perf_counter()
+        u = self.bc.impose(u, scale)
+        scale = jnp.asarray(scale, u.dtype)
+        free32 = self.bc.free_mask.astype(jnp.float32)
+        use_ew = opts.forcing == "ew"
+        norms, pcg_iters = [], []
+        norm0 = None
+        stop_n = None
+        eta = 0.5
+        prev_norm = 1.0
+        x_prev = jnp.zeros((self.mesh.n_nodes, 3), jnp.float32)
+        for it in range(opts.max_newton):
+            # f32 residual only while far above the f32 rounding floor
+            # (see _mixed_newton_iter_fn docstring); late iterations that
+            # decide convergence always take the f64 element pass
+            resid32 = bool(
+                use_ew and norm0 is not None and norms[-1] > 3e-2 * norm0
+            )
+            stop_dev = jnp.asarray(
+                opts.newton_atol if norm0 is None else stop_n, jnp.float64
+            )
+            u_new, st0, state, inv_blocks, b, norm_a, eta_a, tol_a = (
+                _mixed_newton_iter_jit(
+                    u, x_prev, scale, jnp.asarray(prev_norm, jnp.float64),
+                    jnp.asarray(eta, jnp.float64),
+                    jnp.asarray(norm0 is None), stop_dev, self._pcg_tol32,
+                    self._soa64, self._soa, self.material, self._material32,
+                    self.bc, self.f_ext, self._coarse,
+                    chunk_iters=opts.pcg_chunk, use_pallas=opts.pallas,
+                    use_ew=use_ew, resid32=resid32,
+                )
+            )
+            # the ONE blocking tunnel round trip of this Newton iteration
+            norm, eta_v, tol_v, k0, rr0, ok0, stop0 = jax.device_get(
+                (norm_a, eta_a, tol_a, st0.k, st0.rr, st0.ok, st0.stop)
+            )
+            norm = float(norm)
+            u = u_new  # the iterate whose residual was just measured
+            if norm != norm:  # NaN: poisoned state; fail -> bisection
+                break
+            norms.append(norm)
+            if norm0 is None:
+                norm0 = max(norm, 1e-300)
+                stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
+            if norm <= stop_n:
+                rec = IncrementRecord(
+                    float(scale), it, norms, pcg_iters,
+                    time.perf_counter() - t0,
+                )
+                return u, True, rec
+            prev_norm = norm
+            eta = float(eta_v)
+            cell = {"state": state, "inv_blocks": inv_blocks}
+
+            def prepare(x0, _u=u, _b=b, _tol=float(tol_v)):
+                if x0 is None:
+                    return st0
+                # rounding-breakdown restart (rare): rebuild the Krylov
+                # state from the best iterate via the standalone prepare
+                st, cell["state"], cell["inv_blocks"] = _mixed_prepare_jit(
+                    _u, scale, self._soa64, self._soa, self.material,
+                    self._material32, self.bc, self.f_ext,
+                    jnp.asarray(_tol, jnp.float32), self._coarse, x0,
+                    use_pallas=opts.pallas, r64=_b,
+                )
+                return st
+
+            def chunk(st, n):
+                return _mixed_chunk_jit(
+                    st, self._soa, cell["state"], cell["inv_blocks"],
+                    free32, self._coarse, opts.pcg_chunk,
+                    use_pallas=opts.pallas,
+                )
+
+            x, lin_iters, lin_ok, lin_rel = drive_chunked_pcg(
+                prepare, chunk, tol=float(tol_v),
+                chunk_iters=opts.pcg_chunk, maxiter=opts.pcg_maxiter,
+                first_fetch=(k0, rr0, ok0, stop0),
+            )
+            pcg_iters.append(int(lin_iters))
+            x_prev = x
+            # acceptance: see the generic loop below (inexact Newton
+            # tolerates stagnation that made substantial progress)
+            if not (bool(lin_ok) or float(lin_rel) <= 1e-3):
+                break
+        rec = IncrementRecord(
+            float(scale), len(norms), norms, pcg_iters,
+            time.perf_counter() - t0,
+        )
+        return u, False, rec
+
     def _newton(self, u, scale) -> tuple[jnp.ndarray, bool, IncrementRecord]:
         """Newton iteration at fixed load factor `scale` (§5.6)."""
         opts = self.options
+        if opts.precision == "mixed" and opts.linear == "pcg":
+            return self._newton_mixed(u, scale)
         t0 = time.perf_counter()
         u = self.bc.impose(u, scale)
         norms, pcg_iters = [], []
