@@ -33,7 +33,10 @@ from fea_large_tpu.solvers.linear import apply_block_jacobi, jacobi_inverse_bloc
 def loop_time(body, v0, reps=20):
     @jax.jit
     def run(v):
-        return jax.lax.fori_loop(0, reps, lambda i, v: body(v), v0)
+        # loop over the ARGUMENT (an earlier version looped over the
+        # closure-captured v0, letting XLA constant-fold entire phases —
+        # the matvec_f32 row once "measured" 10 us)
+        return jax.lax.fori_loop(0, reps, lambda i, vv: body(vv), v)
 
     jax.block_until_ready(run(v0))
     t1 = time.perf_counter()
@@ -97,26 +100,40 @@ def main(n=16):
     if os.environ.get("FEA_BREAKDOWN_COARSE"):
         # two-level RBM coarse apply + a full PCG iteration body (matvec +
         # coarse + Jacobi + the 3 dots/axpys) — the round-3 profile memo's
-        # per-iteration phase table
+        # per-iteration phase table. The coarse pytree (1 GB dense factor
+        # at 1M DOF) must be an ARGUMENT, not a closure constant — baked
+        # constants blow the remote-compile request limit (CLAUDE.md).
         from fea_large_tpu.solvers.multilevel import build_coarse_space
 
-        coarse = build_coarse_space(
-            mesh, mat64, bc, modes=6, soa=soa32
-        )
-        phases["coarse_apply"] = loop_time(
-            lambda v: dep(v, coarse.apply(v)), v0
+        coarse = build_coarse_space(mesh, mat64, bc, modes=6, soa=soa32)
+
+        def loop_time_args(body, v0, a, reps=20):
+            @jax.jit
+            def run(v, a):
+                return jax.lax.fori_loop(0, reps, lambda i, v: body(v, a), v)
+
+            jax.block_until_ready(run(v0, a))
+            t1 = time.perf_counter()
+            jax.block_until_ready(run(v0, a))
+            return (time.perf_counter() - t1) / reps
+
+        phases["coarse_apply"] = loop_time_args(
+            lambda v, c: dep(v, c.apply(v)), v0, coarse
         )
 
-        def pcg_iter_body(v):
-            q = soa_apply_tangent(soa32, state, v.T).T
+        def pcg_iter_body(v, a):
+            c, st, ib = a
+            q = soa_apply_tangent(soa32, st, v.T).T
             pq = jnp.vdot(v, q)
             alpha = 1.0 / jnp.maximum(pq, 1e-30)
             r = v - alpha * q
-            z = apply_block_jacobi(inv_blocks, free32, r) + free32 * coarse.apply(r)
+            z = apply_block_jacobi(ib, free32, r) + free32 * c.apply(r)
             rz = jnp.vdot(r, z)
             return z + (1e-12 * rz).astype(v.dtype) * v
 
-        phases["full_pcg_iteration"] = loop_time(pcg_iter_body, v0)
+        phases["full_pcg_iteration"] = loop_time_args(
+            pcg_iter_body, v0, (coarse, state, inv_blocks)
+        )
     if jax.default_backend() == "tpu":
         # Pallas element-block kernels vs the XLA SoA path, in-loop
         # (interpret mode off-TPU is orders slower — skip there)

@@ -110,7 +110,7 @@ class ShardedCoarse(NamedTuple):
     coarse residual, solve redundantly on every shard, prolong locally).
     Supports the translation (modes=3) and rigid-body-mode (modes=6)
     coarse bases — multilevel.CoarseSpace docstring; modes is recovered
-    statically from chol.shape[0] // Nc."""
+    statically from acinv.shape[0] // Nc."""
 
     agg_own: jnp.ndarray  # i32[S, No] aggregate of each owned node
     perm_own: jnp.ndarray  # i32[S, No] sort of owned nodes by aggregate
@@ -118,7 +118,8 @@ class ShardedCoarse(NamedTuple):
     valid: jnp.ndarray  # f32[S, No] 1 for real owned nodes
     dvec_own: jnp.ndarray  # f32[S, No, 3] normalized rotational arm
     #   (multilevel._rbm_dvec; 0-extent [S, 0, 3] when modes=3 — never read)
-    chol: jnp.ndarray  # f32[modes*Nc, modes*Nc] replicated Cholesky factor
+    acinv: jnp.ndarray  # f32[modes*Nc, modes*Nc] replicated explicit inverse
+    #   of Ac (applied as ONE dense matvec — multilevel.CoarseSpace.coarse_solve)
 
 
 class ShardedProbe(NamedTuple):
@@ -247,7 +248,7 @@ class ShardedNewtonSolver:
         self._build_coarse(bc, put)
         self._build_programs()
         # the coarse operator is probed THROUGH the sharded tangent action
-        # (programs must exist first); fills self.coarse.chol
+        # (programs must exist first); fills self.coarse.acinv
         self._run_coarse_probe()
 
     # ------------------------------------------------------------------
@@ -372,7 +373,7 @@ class ShardedNewtonSolver:
             # preconditioner only f32-consistent and CG stalls at rel
             # ~2e-5 on ill-conditioned meshes (observed on the elongated
             # dryrun mesh) — the parity path must be f64 end-to-end.
-            chol=jnp.zeros((nc, nc), self._pcg_dtype),
+            acinv=jnp.zeros((nc, nc), self._pcg_dtype),
         )
         self._n_agg = n_agg
         self._probe_ctx = {
@@ -469,7 +470,7 @@ class ShardedNewtonSolver:
                 agg_own=coarse.agg_own[0], perm_own=coarse.perm_own[0],
                 segids_own=coarse.segids_own[0], valid=coarse.valid[0],
                 dvec_own=coarse.dvec_own[0],
-                chol=coarse.chol,  # replicated
+                acinv=coarse.acinv,  # replicated
             )
 
         def coarse_restrict(coarse, t):
@@ -485,7 +486,7 @@ class ShardedNewtonSolver:
         def coarse_apply(coarse, r):
             """Additive two-level coarse correction (restrict, redundant
             replicated dense solve, prolong locally)."""
-            modes = coarse.chol.shape[0] // n_agg  # static at trace
+            modes = coarse.acinv.shape[0] // n_agg  # static at trace
             rp = r * coarse.valid[:, None]
             if modes == 6:
                 # RBM restrict: modes 3+k = sum (d_n x r_n)_k
@@ -493,8 +494,8 @@ class ShardedNewtonSolver:
                 dp = coarse.dvec_own.astype(r.dtype)
                 rp = jnp.concatenate([rp, jnp.cross(dp, rp)], axis=1)
             rc = coarse_restrict(coarse, rp)
-            xc = jsl.cho_solve(
-                (coarse.chol, True), rc.reshape(-1).astype(coarse.chol.dtype)
+            xc = (
+                coarse.acinv @ rc.reshape(-1).astype(coarse.acinv.dtype)
             ).reshape(n_agg, modes).astype(r.dtype)
             za = xc[coarse.agg_own]
             if modes == 6:
@@ -522,11 +523,9 @@ class ShardedNewtonSolver:
 
             return matvec, precond
 
-        def prepare_body(d, soa, coarse, u_own, scale, tol, x0):
-            d, soa = _sq(d), _sq(soa)
-            coarse = _sq_coarse(coarse)
-            u_own, scale = u_own[0], scale[()]
-            r64 = _residual64(d, soa, u_own, scale)
+        def _prepare_common(d, soa, coarse, u_own, r64, tol, x0):
+            """Freeze + Jacobi + PCG init from an already-computed residual
+            (shared by the restart prepare and the fused Newton program)."""
             freeN = d.free_mask.astype(pdt)
             u_full = jnp.concatenate([u_own, halo_gather(d, u_own)], axis=0)
             p = p_of(soa, pdt)
@@ -537,13 +536,78 @@ class ShardedNewtonSolver:
             matvec, precond = _make_ops(d, soa, coarse, state, inv_blocks, freeN)
             st = pcg_init(
                 matvec, r64.astype(pdt), preconditioner=precond,
-                tol=tol.astype(pdt), x0=x0[0].astype(pdt), dot=pdot,
+                tol=tol, x0=x0, dot=pdot,
+            )
+            return st, state, inv_blocks, matvec, precond
+
+        def prepare_body(d, soa, coarse, u_own, scale, tol, x0):
+            d, soa = _sq(d), _sq(soa)
+            coarse = _sq_coarse(coarse)
+            u_own, scale = u_own[0], scale[()]
+            r64 = _residual64(d, soa, u_own, scale)
+            st, state, inv_blocks, _, _ = _prepare_common(
+                d, soa, coarse, u_own, r64, tol.astype(pdt), x0[0].astype(pdt)
             )
             st_out = PCGState(
                 st.x[None], st.r[None], st.z[None], st.p[None],
                 st.rz, st.rr, st.k, st.ok, st.stop,
             )
             return st_out, SoAState(*(x[None] for x in state)), inv_blocks[None]
+
+        use_ew = opts.forcing == "ew"
+
+        def newton_iter_body(
+            d, soa, coarse, u_own, x_prev, scale, prev_norm, norm0_prev,
+            eta_prev, first_it, stop_newton, pcg_tol,
+        ):
+            """Fused sharded Newton iteration (the distributed mirror of
+            solvers.newton._mixed_newton_iter_fn): iterate update, ONE f64
+            residual pass (the earlier split programs paid two per
+            iteration), device-side Eisenstat-Walker forcing + precision
+            floor (the mirror of newton.newton_lin_tol), freeze + Jacobi +
+            first CG chunk — one dispatch, one batched fetch per Newton
+            iteration."""
+            d, soa = _sq(d), _sq(soa)
+            coarse = _sq_coarse(coarse)
+            u_own, scale = u_own[0], scale[()]
+            x_prev = x_prev[0]
+            u_own = u_own + x_prev.astype(u_own.dtype)
+            r64 = _residual64(d, soa, u_own, scale)
+            norm = jnp.sqrt(pdot(r64, r64))
+            norm0 = jnp.where(first_it, norm, norm0_prev)
+            if pdt == jnp.float32:
+                floor = jnp.full((), 1.2e-6, jnp.float64)
+            else:
+                floor = jnp.minimum(
+                    2.2e-14 * norm0 / jnp.maximum(norm, 1e-300), 0.1
+                )
+            if use_ew:
+                cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
+                safe = 0.9 * eta_prev**2
+                eta = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
+                eta = jnp.where(first_it, 0.5, eta)
+                eta = jnp.clip(eta, pcg_tol, 0.5)
+                lin_tol = jnp.maximum(eta, floor)
+            else:
+                eta = jnp.full((), 0.5, jnp.float64)
+                lin_tol = jnp.maximum(pcg_tol, floor)
+            tol_eff = jnp.where(norm <= stop_newton, 1e30, lin_tol)
+            st, state, inv_blocks, matvec, precond = _prepare_common(
+                d, soa, coarse, u_own, r64, tol_eff.astype(pdt),
+                jnp.zeros_like(r64).astype(pdt),
+            )
+            st = pcg_chunk(
+                matvec, st, preconditioner=precond, dot=pdot,
+                maxiter=opts.pcg_chunk,
+            )
+            st_out = PCGState(
+                st.x[None], st.r[None], st.z[None], st.p[None],
+                st.rz, st.rr, st.k, st.ok, st.stop,
+            )
+            return (
+                u_own[None], st_out, SoAState(*(x[None] for x in state)),
+                inv_blocks[None], r64[None], norm, eta, lin_tol,
+            )
 
         def chunk_body(d, soa, coarse, st, state, inv_blocks):
             d, soa = _sq(d), _sq(soa)
@@ -656,6 +720,20 @@ class ShardedNewtonSolver:
                 out_specs=st_specs, check_vma=False,
             )
         )
+        self._newton_iter = jax.jit(
+            shard_map(
+                newton_iter_body, mesh=mesh,
+                in_specs=(
+                    data_specs, soa_specs, coarse_specs, P("shard"),
+                    P("shard"), P(), P(), P(), P(), P(), P(), P(),
+                ),
+                out_specs=(
+                    P("shard"), st_specs, state_specs, P("shard"),
+                    P("shard"), P(), P(), P(),
+                ),
+                check_vma=False,
+            )
+        )
         if self.coarse is not None:
             self._probe = jax.jit(
                 shard_map(
@@ -678,6 +756,7 @@ class ShardedNewtonSolver:
             return
         from fea_large_tpu.solvers.multilevel import (
             _assemble_dense_coarse,
+            _invert_factor,
             _ridge_and_factor,
         )
 
@@ -690,7 +769,9 @@ class ShardedNewtonSolver:
             Z.reshape(-1).astype(self._pcg_dtype), ctx["zsrc"], ctx["dst"],
             nc=ctx["nc"],
         )
-        self.coarse = self.coarse._replace(chol=_ridge_and_factor(Ac))
+        self.coarse = self.coarse._replace(
+            acinv=jax.jit(lambda a: _invert_factor(_ridge_and_factor(a)))(Ac)
+        )
         self._probe_ctx = {
             k: v for k, v in ctx.items() if k in ("agg", "dvec", "modes")
         }
@@ -797,7 +878,7 @@ class ShardedNewtonSolver:
         pcg_b = 4 * No * 3 * pdt_size  # x, r, z, p
         jacobi_b = No * 9 * pdt_size
         # coarse: the per-shard aggregation maps shard with No; the dense
-        # Cholesky factor (chol/chol2/dinv1/agg2...) is REPLICATED — every
+        # coarse inverse (acinv/ac2inv/dinv1/agg2...) is REPLICATED — every
         # shard holds the full copy, and its size is set by the aggregate
         # policy (~constant in N), not by the per-shard node count.
         # Classified by FIELD NAME: a replicated array can coincidentally
@@ -849,31 +930,81 @@ class ShardedNewtonSolver:
         return jax.device_put(jnp.asarray(local, DTYPE), self._sharding)
 
     def _newton(self, u, scale):
+        """Newton loop on the FUSED sharded per-iteration program
+        (`newton_iter_body`): one dispatch + one batched device_get per
+        Newton iteration, one f64 residual pass per iteration (the earlier
+        split-program loop paid two). Mirrors
+        `solvers.newton.NewtonSolver._newton_mixed`."""
         opts = self.options
         t0 = time.perf_counter()
         scale_arr = jnp.asarray(scale, DTYPE)
         u = self._impose(self.data, u, scale_arr)
         norms, pcg_iters = [], []
         norm0 = None
+        stop_n = None
         eta = 0.5  # Eisenstat-Walker initial forcing
+        prev_norm = 1.0
+        x_prev = jnp.zeros(
+            (self.part.n_shards, self.part.n_owned, 3), self._pcg_dtype
+        )
         for it in range(opts.max_newton):
-            norm = float(self._residual_norm(self.data, self.soa, u, scale_arr))
+            stop_dev = jnp.asarray(
+                opts.newton_atol if norm0 is None else stop_n, jnp.float64
+            )
+            u_new, st0, state, inv_blocks, r64, norm_a, eta_a, tol_a = (
+                self._newton_iter(
+                    self.data, self.soa, self.coarse, u, x_prev, scale_arr,
+                    jnp.asarray(prev_norm, jnp.float64),
+                    jnp.asarray(norm0 or 1.0, jnp.float64),
+                    jnp.asarray(eta, jnp.float64),
+                    jnp.asarray(norm0 is None), stop_dev,
+                    jnp.asarray(opts.pcg_tol, jnp.float64),
+                )
+            )
+            # the ONE blocking tunnel round trip of this Newton iteration
+            norm, eta_v, tol_v, k0, rr0, ok0, stop0 = jax.device_get(
+                (norm_a, eta_a, tol_a, st0.k, st0.rr, st0.ok, st0.stop)
+            )
+            norm = float(norm)
+            u = u_new
             if norm != norm:  # NaN: poisoned state; fail -> bisection
                 break
             norms.append(norm)
             if norm0 is None:
                 norm0 = max(norm, 1e-300)
-            stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
+                stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
             if norm <= stop_n:
                 rec = IncrementRecord(
                     float(scale), it, norms, pcg_iters, time.perf_counter() - t0
                 )
                 return u, True, rec
-            # forcing + precision floor — shared with the single-device
-            # driver (solvers/newton.py::newton_lin_tol)
-            lin_tol, eta = newton_lin_tol(opts, it, norms, norm0, eta)
-            u, lin_iters, lin_ok, lin_rel = self._step_pcg(u, scale_arr, lin_tol)
+            prev_norm = norm
+            eta = float(eta_v)
+            cell = {"state": state, "inv_blocks": inv_blocks}
+
+            def prepare(x0, _u=u, _tol=float(tol_v)):
+                if x0 is None:
+                    return st0
+                tol = jnp.asarray(_tol, self._pcg_dtype)
+                st, cell["state"], cell["inv_blocks"] = self._prepare(
+                    self.data, self.soa, self.coarse, _u, scale_arr, tol,
+                    x0.astype(DTYPE),
+                )
+                return st
+
+            def chunk(st, n):  # fixed-length chunk program; n unused
+                return self._chunk(
+                    self.data, self.soa, self.coarse, st, cell["state"],
+                    cell["inv_blocks"],
+                )
+
+            x, lin_iters, lin_ok, lin_rel = drive_chunked_pcg(
+                prepare, chunk, tol=float(tol_v),
+                chunk_iters=opts.pcg_chunk, maxiter=opts.pcg_maxiter,
+                first_fetch=(k0, rr0, ok0, stop0),
+            )
             pcg_iters.append(int(lin_iters))
+            x_prev = x
             # see solvers/newton.py: accept a stagnated PCG step that made
             # substantial progress (inexact Newton); an early breakdown at
             # rel ~ O(1) aborts the increment -> bisection

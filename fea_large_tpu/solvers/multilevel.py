@@ -53,7 +53,7 @@ class CoarseSpace:
     agg: jnp.ndarray  # i32[N] aggregate id per node
     perm: jnp.ndarray  # i32[N] stable sort of nodes by aggregate
     segids: jnp.ndarray  # i32[N] aggregate per sorted slot
-    chol: jnp.ndarray  # f32[modes*Nc, modes*Nc] lower Cholesky of Ac
+    acinv: jnp.ndarray  # f32[modes*Nc, modes*Nc] EXPLICIT inverse of Ac
     dvec: jnp.ndarray | None  # f32[N, 3] normalized rotational arm (modes=6):
     #   (x_n - centroid) / RMS arm of the aggregate (`_rbm_dvec`)
     buckets: object | None  # ops.soa.ScatterBuckets over agg ids (or None)
@@ -62,7 +62,7 @@ class CoarseSpace:
 
     def tree_flatten(self):
         return (
-            (self.agg, self.perm, self.segids, self.chol, self.dvec,
+            (self.agg, self.perm, self.segids, self.acinv, self.dvec,
              self.buckets),
             (self.n_agg, self.modes),
         )
@@ -96,8 +96,16 @@ class CoarseSpace:
         return za
 
     def coarse_solve(self, rc: jnp.ndarray) -> jnp.ndarray:
-        """Ac^{-1} rc via the cached Cholesky factor."""
-        x = jsl.cho_solve((self.chol, True), rc.reshape(-1).astype(self.chol.dtype))
+        """Ac^{-1} rc via the precomputed EXPLICIT inverse: one dense
+        matvec. cho_solve's two triangular solves measured 11.8 ms per
+        apply at modes*Nc~16k on TPU (panel-serialized, poorly mapped to
+        the MXU) vs ~1.5 ms for a single bandwidth-bound pass over the
+        same gigabyte (round-3 breakdown, BENCH_NOTES.md). As a
+        PRECONDITIONER the inverse's extra rounding (~eps*kappa of the
+        ridged SPD Ac) perturbs only the preconditioner, never the CG
+        fixed point; `_invert_factor` symmetrizes it because CG requires
+        a symmetric M."""
+        x = self.acinv @ rc.reshape(-1).astype(self.acinv.dtype)
         return x.reshape(rc.shape).astype(rc.dtype)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
@@ -388,6 +396,30 @@ def _ridge_and_factor(Ac):
     return jsl.cho_factor(Ac + jnp.diag(ridge), lower=True)[0]
 
 
+def _invert_factor(chol, block: int = 2048):
+    """Explicit Ac^{-1} from the Cholesky factor (setup-time), SYMMETRIZED
+    — CG requires a symmetric preconditioner and the triangular-solve
+    rounding breaks symmetry at ~eps. Turns every coarse apply into one
+    dense matvec (see CoarseSpace.coarse_solve).
+
+    Solved in COLUMN BLOCKS of the identity under a sequential `lax.map`:
+    a single cho_solve against the full [n, n] identity materializes
+    ~0.9 GB triangular-solve panel temps at n~16k (several live at once —
+    OOM'd next to the 1M-DOF SoA tables on the 16 GB v5e); per-block temps
+    are [n, block] and peak memory stays at the factor + the result."""
+    n = chol.shape[0]
+    nb = -(-n // block)
+
+    def one(i):
+        cols = i * block + jnp.arange(block)
+        eye_blk = (jnp.arange(n)[:, None] == cols[None, :]).astype(chol.dtype)
+        return jsl.cho_solve((chol, True), eye_blk)
+
+    blocks = jax.lax.map(one, jnp.arange(nb))  # [nb, n, block]
+    inv = jnp.moveaxis(blocks, 0, 1).reshape(n, nb * block)[:, :n]
+    return 0.5 * (inv + inv.T)
+
+
 def build_coarse_space(
     mesh,
     material,
@@ -474,17 +506,21 @@ def build_coarse_space(
     # on device end-to-end (ridge + factor in one jitted program — no
     # [nc, nc] host buffer or tunnel transfer); host paths ridge in numpy.
     if isinstance(Ac, jnp.ndarray):
-        chol = _ridge_and_factor(Ac.astype(dtype))
+        acinv = jax.jit(
+            lambda a: _invert_factor(_ridge_and_factor(a))
+        )(Ac.astype(dtype))
     else:
         d = np.diagonal(Ac)
         fix = (d <= 0.0).astype(Ac.dtype)
         Ac = Ac + np.diag(fix + 1e-8 * max(d.max(), 1.0))
-        chol = jsl.cho_factor(jnp.asarray(Ac, dtype), lower=True)[0]
+        acinv = jax.jit(
+            lambda a: _invert_factor(jsl.cho_factor(a, lower=True)[0])
+        )(jnp.asarray(Ac, dtype))
     return CoarseSpace(
         agg=jnp.asarray(agg, INDEX_DTYPE),
         perm=jnp.asarray(perm, INDEX_DTYPE),
         segids=jnp.asarray(agg[perm], INDEX_DTYPE),
-        chol=chol,
+        acinv=acinv,
         dvec=dvec,
         buckets=buckets,
         n_agg=n_agg,
@@ -716,14 +752,14 @@ class MultilevelSpace:
     agg2: jnp.ndarray  # i32[Nc1]
     perm2: jnp.ndarray  # i32[Nc1]
     segids2: jnp.ndarray  # i32[Nc1]
-    chol2: jnp.ndarray  # f32[3*Nc2, 3*Nc2]
+    ac2inv: jnp.ndarray  # f32[3*Nc2, 3*Nc2] explicit inverse of Ac2
     n_agg1: int
     n_agg2: int
 
     def tree_flatten(self):
         return (
             (self.agg1, self.perm1, self.segids1, self.dinv1,
-             self.agg2, self.perm2, self.segids2, self.chol2),
+             self.agg2, self.perm2, self.segids2, self.ac2inv),
             (self.n_agg1, self.n_agg2),
         )
 
@@ -741,8 +777,8 @@ class MultilevelSpace:
             rc1[self.perm2], self.segids2, num_segments=self.n_agg2,
             indices_are_sorted=True,
         )
-        x2 = jsl.cho_solve(
-            (self.chol2, True), rc2.reshape(-1).astype(self.chol2.dtype)
+        x2 = (
+            self.ac2inv @ rc2.reshape(-1).astype(self.ac2inv.dtype)
         ).reshape(self.n_agg2, 3).astype(r.dtype)
         zc1 = z1 + x2[self.agg2]
         return zc1[self.agg1]
@@ -805,7 +841,9 @@ def build_multilevel_space(
     d2 = np.diagonal(Ac2)
     fix2 = (d2 <= 0.0).astype(Ac2.dtype)
     Ac2 = Ac2 + np.diag(fix2 + 1e-8 * max(d2.max(), 1.0))
-    chol2 = jsl.cho_factor(jnp.asarray(Ac2, dtype), lower=True)[0]
+    ac2inv = jax.jit(
+        lambda a: _invert_factor(jsl.cho_factor(a, lower=True)[0])
+    )(jnp.asarray(Ac2, dtype))
 
     perm1 = np.argsort(agg1, kind="stable")
     perm2 = np.argsort(agg2, kind="stable")
@@ -817,7 +855,7 @@ def build_multilevel_space(
         agg2=jnp.asarray(agg2, INDEX_DTYPE),
         perm2=jnp.asarray(perm2, INDEX_DTYPE),
         segids2=jnp.asarray(agg2[perm2], INDEX_DTYPE),
-        chol2=chol2,
+        ac2inv=ac2inv,
         n_agg1=n1,
         n_agg2=n2,
     )
