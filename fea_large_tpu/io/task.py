@@ -165,6 +165,8 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         coarse_modes=int(sv.get("coarse_modes", 3)),
         forcing=sv.get("forcing", "fixed"),
         pallas=bool(sv.get("pallas", False)),
+        device_loop=bool(sv.get("device_loop", True)),
+        device_loop_budget=sv.get("device_loop_budget"),
     )
     out = data.get("output", {})
     output = OutputSpec(

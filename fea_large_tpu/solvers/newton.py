@@ -102,6 +102,22 @@ class SolverOptions:
     #: default is whichever measures faster in-loop (BENCH_NOTES.md).
     #: Mixed path only (Pallas is f32-only on this platform, SURVEY.md §9).
     pallas: bool = False
+    #: run the ENTIRE bounded Newton solve of an increment as ONE device
+    #: program (`_mixed_solve_fn`: lax.while_loop over fused Newton
+    #: iterations). Each host-orchestrated Newton iteration costs a ~30 ms
+    #: tunnel dispatch + a ~30 ms blocking fetch; a 4-iteration solve pays
+    #: ~0.24 s of pure round-trip latency that the device loop removes.
+    #: The device program is bounded by `device_loop_budget` total CG
+    #: iterations (backend executions >~5 min are killed); if the budget
+    #: is exhausted mid-solve the host loop continues the SAME Newton
+    #: sequence warm-started from the device state. Rounding-breakdown
+    #: restarts and best-iterate polishing are host-loop-only (the device
+    #: loop exits to the host path on any CG failure). Mixed path only.
+    device_loop: bool = True
+    #: total CG iterations per device-resident solve call (None = auto:
+    #: sized so one call stays well under the backend execution limit,
+    #: ~2.3e8 element-iterations ≈ 60 s).
+    device_loop_budget: int | None = None
     #: "f64" — everything in f64 (the parity path, BASELINE.json:5).
     #: "mixed" — f64 residuals/updates + f32 tangent/PCG (SURVEY.md §9
     #: risk 2/5): the linear solve is a Newton DIRECTION, so f32 error there
@@ -402,6 +418,133 @@ def _mixed_newton_iter_fn(
     return u, st, state, inv_blocks, b, norm, eta, lin_tol
 
 
+def _mixed_solve_fn(
+    u0, scale, stop_rtol, stop_atol, pcg_tol, pcg_maxiter, cg_budget,
+    soa64, soa, material, material32, bc, f_ext, coarse,
+    *, max_newton, use_pallas, use_ew,
+):
+    """DEVICE-RESIDENT mixed-precision Newton solve of one load increment:
+    a `lax.while_loop` over the same fused iteration body as
+    `_mixed_newton_iter_fn` — residual (f32 while far from convergence, f64
+    for the decisions), Eisenstat-Walker forcing, tangent freeze,
+    block-Jacobi, and a full bounded CG solve per Newton iteration — so the
+    whole increment costs ONE dispatch and ONE batched fetch instead of a
+    ~60 ms tunnel round trip per Newton iteration (round-3 measurement:
+    ~0.24 s of a 4.3 s solve at 1M DOF).
+
+    Semantics relative to the host loop (`NewtonSolver._newton_mixed`):
+      * identical arithmetic per iteration (same EW f64 forcing, same
+        3e-2||R0|| f32-residual gate, same acceptance rule lin_ok or
+        rel<=1e-3) — the common no-breakdown trajectory matches;
+      * NO rounding-breakdown restarts or best-iterate polishing — any CG
+        failure exits with `failed` and the caller falls back / bisects,
+        exactly as the host loop's break does;
+      * bounded: at most `cg_budget` TOTAL CG iterations per call (device
+        executions >~5 min are killed — CLAUDE.md); on exhaustion it
+        returns `exhausted=True` and the host loop continues the same
+        Newton sequence warm-started (u, norms, eta, norm0).
+
+    Returns (u, norms[max_newton], cgs[max_newton], n_iters, converged,
+    failed, exhausted, eta, norm0, total_cg)."""
+    free32 = bc.free_mask.astype(jnp.float32)
+
+    def freeze(u32_T):
+        if use_pallas:
+            from fea_large_tpu.ops.pallas_kernels import soa_freeze_pallas
+
+            return soa_freeze_pallas(soa, material32, u32_T)
+        return soa_freeze(soa, material32, u32_T)
+
+    def body(c):
+        (u, x_prev, prev_norm, eta, norm0, it, total_cg, norms, cgs,
+         done, conv, failed, exhausted) = c
+        u = u + x_prev.astype(u.dtype)
+        state = freeze(u.astype(jnp.float32).T)
+
+        def resid_f32(_):
+            f_int_T = soa_internal_force(soa, state)
+            b = (
+                scale.astype(jnp.float32) * f_ext.astype(jnp.float32)
+                - f_int_T.T
+            ) * free32
+            return b, jnp.linalg.norm(b).astype(jnp.float64)
+
+        def resid_f64(_):
+            b64, n64 = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
+            return b64.astype(jnp.float32), n64
+
+        if use_ew:
+            # f32 residual only while far above the f32 rounding floor —
+            # same gate as the host loop; cond executes ONE branch on TPU
+            use32 = (it > 0) & (prev_norm > 3e-2 * norm0)
+            b, norm = jax.lax.cond(use32, resid_f32, resid_f64, None)
+        else:
+            b, norm = resid_f64(None)
+        norm0 = jnp.where(it == 0, norm, norm0)
+        stop_n = jnp.maximum(stop_rtol * norm0, stop_atol)
+        norms = norms.at[it].set(norm)
+        bad = ~jnp.isfinite(norm)
+        conv = (norm <= stop_n) & ~bad
+        if use_ew:
+            cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
+            safe = 0.9 * eta**2
+            eta_n = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
+            eta_n = jnp.where(it == 0, 0.5, eta_n)
+            eta_n = jnp.clip(eta_n, pcg_tol.astype(jnp.float64), 0.5)
+            lin_tol = jnp.maximum(eta_n, 1.2e-6)
+        else:
+            eta_n = jnp.full((), 0.5, jnp.float64)
+            lin_tol = jnp.maximum(pcg_tol.astype(jnp.float64), 1.2e-6)
+        skip = conv | bad
+        # converged/NaN: inflate the stop target so CG exits at 0
+        # iterations (the wasted freeze+Jacobi is ~40 ms once per solve)
+        tol_eff = jnp.where(skip, 1e30, lin_tol).astype(jnp.float32)
+        diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
+        inv_blocks = jacobi_inverse_blocks(diag, free32)
+        matvec = lambda v: _mixed_matvec(soa, state, free32.T, v, use_pallas)  # noqa: E731
+        precond = _mixed_precond(inv_blocks, free32, coarse)
+        st = pcg_init(matvec, b, preconditioner=precond, tol=tol_eff)
+        iter_cap = jnp.minimum(pcg_maxiter, cg_budget - total_cg)
+        st = pcg_chunk(matvec, st, preconditioner=precond, maxiter=iter_cap)
+        total_cg = total_cg + st.k
+        bnorm = jnp.sqrt(jnp.vdot(b, b))
+        rel = (jnp.sqrt(st.rr) / jnp.maximum(bnorm, 1e-30)).astype(jnp.float64)
+        lin_ok = st.ok & (jnp.sqrt(st.rr) <= st.stop)
+        # ran out of the per-call budget before reaching lin_tol (NOT a
+        # pcg_maxiter exhaustion, which keeps the host loop's acceptance
+        # semantics): hand the solve back to the host loop
+        hit_budget = (
+            ~skip & ~lin_ok & st.ok & (total_cg >= cg_budget)
+            & (st.k < pcg_maxiter)
+        )
+        accept = lin_ok | (rel <= 1e-3)
+        failed_n = ~skip & ~accept & ~hit_budget
+        cgs = cgs.at[it].set(st.k)
+        it_n = it + 1
+        done = skip | failed_n | hit_budget | (it_n >= max_newton)
+        # on budget exhaustion the host loop REDOES this Newton iteration
+        # (the partial CG solution is discarded); hand back the PRE-
+        # iteration forcing value so the redo computes the same eta
+        eta_out = jnp.where(hit_budget, eta, eta_n)
+        return (
+            u, st.x, norm, eta_out, norm0, it_n, total_cg, norms, cgs,
+            done, conv, failed_n | bad, hit_budget,
+        )
+
+    n = u0.shape[0]
+    init = (
+        u0, jnp.zeros((n, 3), jnp.float32), jnp.ones((), jnp.float64),
+        jnp.full((), 0.5, jnp.float64), jnp.ones((), jnp.float64),
+        jnp.int32(0), jnp.int32(0), jnp.zeros((max_newton,), jnp.float64),
+        jnp.zeros((max_newton,), jnp.int32), jnp.bool_(False),
+        jnp.bool_(False), jnp.bool_(False), jnp.bool_(False),
+    )
+    out = jax.lax.while_loop(lambda c: ~c[9], body, init)
+    (u, _x, _pn, eta, norm0, it_n, total_cg, norms, cgs,
+     _done, conv, failed, exhausted) = out
+    return u, norms, cgs, it_n, conv, failed, exhausted, eta, norm0, total_cg
+
+
 _residual_jit = jax.jit(_residual_fn)
 _residual_soa_jit = jax.jit(_residual_soa_fn)
 _mixed_update_jit = jax.jit(_mixed_update_fn)
@@ -415,6 +558,10 @@ _mixed_chunk_jit = jax.jit(
 _mixed_newton_iter_jit = jax.jit(
     _mixed_newton_iter_fn,
     static_argnames=("chunk_iters", "use_pallas", "use_ew", "resid32"),
+)
+_mixed_solve_jit = jax.jit(
+    _mixed_solve_fn,
+    static_argnames=("max_newton", "use_pallas", "use_ew"),
 )
 
 
@@ -611,8 +758,53 @@ class NewtonSolver:
         stop_n = None
         eta = 0.5
         prev_norm = 1.0
+        it0 = 0
+        if opts.device_loop:
+            budget = opts.device_loop_budget or max(
+                50, min(1000, int(2.3e8 / max(self.mesh.n_elements, 1)))
+            )
+            out = _mixed_solve_jit(
+                u, scale, jnp.asarray(opts.newton_rtol, jnp.float64),
+                jnp.asarray(opts.newton_atol, jnp.float64), self._pcg_tol32,
+                jnp.asarray(opts.pcg_maxiter, jnp.int32),
+                jnp.asarray(budget, jnp.int32),
+                self._soa64, self._soa, self.material, self._material32,
+                self.bc, self.f_ext, self._coarse,
+                max_newton=opts.max_newton, use_pallas=opts.pallas,
+                use_ew=use_ew,
+            )
+            u_d = out[0]
+            (norms_a, cgs_a, n_it, conv, failed_d, exhausted, eta_d,
+             norm0_d, _tot) = jax.device_get(out[1:])
+            n_it = int(n_it)
+            if bool(conv) or bool(failed_d) or not bool(exhausted):
+                # terminal on device: converged, CG failure / NaN
+                # (-> bisection), or max_newton exhausted — the mirror of
+                # the host loop's three exits
+                norms = [float(x) for x in norms_a[:n_it]]
+                pcg_list = [int(x) for x in cgs_a[:n_it]]
+                if bool(conv):
+                    pcg_list = pcg_list[:-1]  # converged check ran 0 iters
+                rec = IncrementRecord(
+                    float(scale), n_it - 1 if bool(conv) else n_it, norms,
+                    pcg_list, time.perf_counter() - t0,
+                )
+                return u_d, bool(conv), rec
+            # budget exhausted mid-solve: continue the SAME Newton sequence
+            # on the host-orchestrated loop below, warm-started (the last
+            # device iteration is redone; its partial CG is discarded)
+            u = u_d
+            n_use = max(n_it - 1, 0)
+            norms = [float(x) for x in norms_a[:n_use]]
+            pcg_iters = [int(x) for x in cgs_a[:n_use]]
+            if norms:
+                norm0 = max(norms[0], 1e-300)
+                stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
+                prev_norm = norms[-1]
+            eta = float(eta_d)
+            it0 = n_use
         x_prev = jnp.zeros((self.mesh.n_nodes, 3), jnp.float32)
-        for it in range(opts.max_newton):
+        for it in range(it0, opts.max_newton):
             # f32 residual only while far above the f32 rounding floor
             # (see _mixed_newton_iter_fn docstring); late iterations that
             # decide convergence always take the f64 element pass

@@ -321,3 +321,61 @@ def test_pcg_chunk_reports_nonfinite_rr_as_breakdown():
     out = pcg_chunk(lambda v: v, st, maxiter=5)
     assert not bool(out.ok)
     assert int(out.k) == 3  # no iterations were run on the poisoned state
+
+
+def _device_loop_problem():
+    mesh = box_mesh(4, 4, 4, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.1).build()
+    return mesh, mat, bc
+
+
+def test_device_loop_matches_host_loop():
+    """The device-resident Newton solve (`_mixed_solve_fn`: the whole
+    increment in ONE dispatch) must follow the same Newton trajectory as
+    the host-orchestrated fused-iteration loop — identical iteration
+    counts and a solution agreeing to the mixed-path accuracy. The two
+    paths share their per-iteration arithmetic (same EW f64 forcing, same
+    f32-residual gate), differing only in orchestration."""
+    mesh, mat, bc = _device_loop_problem()
+    base = dict(
+        linear="pcg", precision="mixed", preconditioner="two_level",
+        coarse_modes=6, forcing="ew", pcg_tol=1e-6, newton_rtol=1e-9,
+        max_newton=60,
+    )
+    res_d = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(device_loop=True, **base)
+    ).solve()
+    res_h = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(device_loop=False, **base)
+    ).solve()
+    assert res_d.converged and res_h.converged
+    assert [r.newton_iters for r in res_d.history] == [
+        r.newton_iters for r in res_h.history
+    ]
+    assert [r.pcg_iters for r in res_d.history] == [
+        r.pcg_iters for r in res_h.history
+    ]
+    scale = float(np.abs(np.asarray(res_h.u)).max())
+    err = float(np.abs(np.asarray(res_d.u) - np.asarray(res_h.u)).max())
+    assert err < 1e-8 * scale, err
+
+
+def test_device_loop_budget_continuation():
+    """Exhausting `device_loop_budget` mid-solve must hand the SAME Newton
+    sequence to the host loop (warm-started u / norms / eta / norm0) and
+    still converge to the unconstrained-device-loop solution."""
+    mesh, mat, bc = _device_loop_problem()
+    base = dict(
+        linear="pcg", precision="mixed", preconditioner="two_level",
+        coarse_modes=6, forcing="ew", pcg_tol=1e-6, newton_rtol=1e-9,
+        max_newton=60, device_loop=True,
+    )
+    full = NewtonSolver(mesh, mat, bc, options=SolverOptions(**base)).solve()
+    tiny = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(device_loop_budget=5, **base)
+    ).solve()
+    assert full.converged and tiny.converged
+    scale = float(np.abs(np.asarray(full.u)).max())
+    err = float(np.abs(np.asarray(tiny.u) - np.asarray(full.u)).max())
+    assert err < 1e-7 * scale, err
