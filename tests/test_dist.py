@@ -216,6 +216,7 @@ def test_sharded_rcb_matches_single_device(rng):
     np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
 
 
+@pytest.mark.slow
 def test_sharded_large_mesh_step():
     """Medium-size guard for the config-5 scale path (VERDICT round-1
     item 3; the full >=100k-DOF run is `__graft_entry__.
@@ -285,6 +286,7 @@ def test_sharded_ew_forcing_matches_single_device(rng):
     assert np.abs(u - np.asarray(ref.u)).max() < 1e-7 * scale
 
 
+@pytest.mark.slow
 def test_sharded_rbm_coarse_matches_and_cuts_iters(rng):
     """modes=6 rigid-body-mode coarse in the sharded solver (round-2):
     same solution as the single-device f64 reference, fewer PCG

@@ -263,6 +263,7 @@ def test_pcg_chunk_continuation_bitwise():
     assert np.array_equal(u_small, u_big)
 
 
+@pytest.mark.slow
 def test_mixed_pcg_returns_best_iterate_on_floor():
     """On a mesh where the f32 RBM-preconditioned recurrence hits its
     rounding floor and breaks down (elongated beam — BENCH_NOTES round 2),
