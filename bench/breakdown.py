@@ -134,6 +134,39 @@ def main(n=16):
         phases["full_pcg_iteration"] = loop_time_args(
             pcg_iter_body, v0, (coarse, state, inv_blocks)
         )
+
+        # component-first mirrors (measured ALTERNATIVE, not production:
+        # the [3, N]-state PCG benched 2.4% slower end-to-end despite
+        # these bodies tying — CoarseSpace.apply_T docstring /
+        # BENCH_NOTES.md round-3 layout study): coarse apply_T and the
+        # [3, N] body with f64-accumulated dots
+        from fea_large_tpu.solvers.linear import apply_block_jacobi_T
+
+        def _dot64(a, b):
+            # f32 products, f64-accumulating fused reduce (the form that
+            # is standalone-free; f64 OPERANDS cost 6.9 ms/dot)
+            return jnp.sum(a * b, dtype=jnp.float64)
+
+        v0T = v0.T.copy()
+        free32_T = free32.T.copy()
+
+        phases["coarse_apply_T"] = loop_time_args(
+            lambda v, c: dep(v, c.apply_T(v)), v0T, coarse
+        )
+
+        def pcg_iter_body_T(v, a):
+            c, st, ib = a
+            q = soa_apply_tangent(soa32, st, v)
+            pq = _dot64(v, q)
+            alpha = (1.0 / jnp.maximum(pq, 1e-30)).astype(v.dtype)
+            r = v - alpha * q
+            z = apply_block_jacobi_T(ib, free32_T, r) + free32_T * c.apply_T(r)
+            rz = _dot64(r, z)
+            return z + (1e-12 * rz).astype(v.dtype) * v
+
+        phases["full_pcg_iteration_T"] = loop_time_args(
+            pcg_iter_body_T, v0T, (coarse, state, inv_blocks)
+        )
     if jax.default_backend() == "tpu":
         # Pallas element-block kernels vs the XLA SoA path, in-loop
         # (interpret mode off-TPU is orders slower — skip there)

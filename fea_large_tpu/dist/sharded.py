@@ -609,7 +609,7 @@ class ShardedNewtonSolver:
                 inv_blocks[None], r64[None], norm, eta, lin_tol,
             )
 
-        def chunk_body(d, soa, coarse, st, state, inv_blocks):
+        def chunk_body(d, soa, coarse, st, state, inv_blocks, n):
             d, soa = _sq(d), _sq(soa)
             coarse = _sq_coarse(coarse)
             state = _sq(state)
@@ -620,9 +620,13 @@ class ShardedNewtonSolver:
                 st.rz, st.rr, st.k, st.ok, st.stop,
             )
             matvec, precond = _make_ops(d, soa, coarse, state, inv_blocks, freeN)
+            # `n` is the host loop's REMAINING iteration budget — a traced
+            # scalar (maxiter only feeds the while-loop cond), so honoring
+            # it costs no second compiled program and keeps pcg_maxiter a
+            # hard bound, matching the single-device path (round-2 advisor)
             st = pcg_chunk(
                 matvec, st, preconditioner=precond, dot=pdot,
-                maxiter=opts.pcg_chunk,
+                maxiter=jnp.minimum(jnp.int32(opts.pcg_chunk), n),
             )
             return PCGState(
                 st.x[None], st.r[None], st.z[None], st.p[None],
@@ -715,7 +719,7 @@ class ShardedNewtonSolver:
                 chunk_body, mesh=mesh,
                 in_specs=(
                     data_specs, soa_specs, coarse_specs, st_specs,
-                    state_specs, P("shard"),
+                    state_specs, P("shard"), P(),
                 ),
                 out_specs=st_specs, check_vma=False,
             )
@@ -818,9 +822,9 @@ class ShardedNewtonSolver:
         """Host-orchestrated chunked PCG across the device mesh, on the
         SAME shared control loop as the single-device mixed path
         (`linear.drive_chunked_pcg`: batched syncs, rounding-breakdown
-        restarts, best-iterate tracking). The chunk program is built with
-        a fixed `pcg_chunk` length, so the final chunk may overshoot
-        pcg_maxiter by at most pcg_chunk-1 iterations."""
+        restarts, best-iterate tracking). The chunk program takes the
+        remaining budget as a traced scalar, so pcg_maxiter is a hard
+        bound here exactly as on the single-device path."""
         opts = self.options
         tol = jnp.asarray(
             opts.pcg_tol if lin_tol is None else lin_tol, self._pcg_dtype
@@ -834,10 +838,10 @@ class ShardedNewtonSolver:
             )
             return st
 
-        def chunk(st, n):  # fixed-length chunk program; n unused
+        def chunk(st, n):
             return self._chunk(
                 self.data, self.soa, self.coarse, st, cell["state"],
-                cell["inv_blocks"],
+                cell["inv_blocks"], jnp.int32(n),
             )
 
         x, total, converged, rel = drive_chunked_pcg(
@@ -992,10 +996,10 @@ class ShardedNewtonSolver:
                 )
                 return st
 
-            def chunk(st, n):  # fixed-length chunk program; n unused
+            def chunk(st, n):
                 return self._chunk(
                     self.data, self.soa, self.coarse, st, cell["state"],
-                    cell["inv_blocks"],
+                    cell["inv_blocks"], jnp.int32(n),
                 )
 
             x, lin_iters, lin_ok, lin_rel = drive_chunked_pcg(

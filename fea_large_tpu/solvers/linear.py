@@ -56,6 +56,16 @@ def apply_block_jacobi(inv_blocks, free_mask, r):
     return jnp.einsum("nij,nj->ni", inv_blocks, r * free_mask) * free_mask
 
 
+def apply_block_jacobi_T(inv_blocks, free_T, r_T):
+    """Component-first mirror of `apply_block_jacobi`: r_T/free_T [3, N],
+    inv_blocks [N, 3, 3] unchanged (the einsum contracts equally fast
+    from either operand layout — measured 0.61 vs 0.68 ms at 1M DOF).
+    Production PCG stays AoS (the [3, N]-state variant benched 2.4%
+    slower end-to-end — CoarseSpace.apply_T docstring); this is the
+    breakdown-bench subject for that comparison."""
+    return jnp.einsum("nij,jn->in", inv_blocks, r_T * free_T) * free_T
+
+
 def block_jacobi_preconditioner(
     diag_blocks: jnp.ndarray, free_mask: jnp.ndarray
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -135,13 +145,16 @@ def pcg_chunk(matvec, state: PCGState, preconditioner=None, dot=None,
         q = matvec(s.p)
         pq = dot(s.p, q)
         ok = s.ok & (pq > 0.0)  # breakdown guard: K must be SPD
-        alpha = jnp.where(pq > 0.0, s.rz / pq, 0.0)
+        # scalar coefficients are cast to the VECTOR dtype (no-op for the
+        # shipped dots): an injected f64-accumulating `dot` must not
+        # promote the f32 iterates to f64 arrays through the axpys
+        alpha = jnp.where(pq > 0.0, s.rz / pq, 0.0).astype(s.p.dtype)
         x = s.x + alpha * s.p
         r = s.r - alpha * q
         z = preconditioner(r)
         rz_new = dot(r, z)
         rr_new = dot(r, r)
-        beta = jnp.where(s.rz != 0.0, rz_new / s.rz, 0.0)
+        beta = jnp.where(s.rz != 0.0, rz_new / s.rz, 0.0).astype(s.p.dtype)
         p = z + beta * s.p
         return PCGState(x, r, z, p, rz_new, rr_new, s.k + 1, ok, s.stop)
 
@@ -165,9 +178,12 @@ def drive_chunked_pcg(prepare, chunk, *, tol, chunk_iters, maxiter,
       * ONE batched device->host fetch of (k, rr, ok, stop) per chunk
         (each blocking float() is a ~30 ms tunnel round trip);
       * up to 2 restarts on rounding-level breakdown (substantial
-        reduction achieved, rel <= 1e-3) — an early breakdown at rel ~O(1)
-        signals a genuinely indefinite operator and is the caller's
-        load-step-bisection case;
+        reduction achieved, rel <= 1e-2) — a restart rebuilds the Krylov
+        state from the best iterate with a FRESH residual b - A x, the
+        standard remedy when the f32 recurrence hits its rounding floor
+        (the drifted recurrence residual, not the operator, is what broke
+        down); an early breakdown at rel ~O(1) signals a genuinely
+        indefinite operator and is the caller's load-step-bisection case;
       * best-iterate tracking: f32 CG can LOSE ground after hitting its
         rounding floor; the best chunk-boundary iterate is returned when
         the final one is worse (NaN-safe), and restarts resume from it.
@@ -205,7 +221,7 @@ def drive_chunked_pcg(prepare, chunk, *, tol, chunk_iters, maxiter,
         if (bool(st_ok) and rnorm <= float(st_stop)) or (k >= maxiter):
             break
         if not bool(st_ok):
-            if restarts >= 2 or rel > 1e-3:
+            if restarts >= 2 or rel > 1e-2:
                 break
             restarts += 1
             done_iters = k

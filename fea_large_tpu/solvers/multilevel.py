@@ -56,6 +56,8 @@ class CoarseSpace:
     acinv: jnp.ndarray  # f32[modes*Nc, modes*Nc] EXPLICIT inverse of Ac
     dvec: jnp.ndarray | None  # f32[N, 3] normalized rotational arm (modes=6):
     #   (x_n - centroid) / RMS arm of the aggregate (`_rbm_dvec`)
+    dvec_T: jnp.ndarray | None  # f32[3, N] the same, component-first (for
+    #   the measured-alternative `apply_T`; production PCG stays AoS)
     buckets: object | None  # ops.soa.ScatterBuckets over agg ids (or None)
     n_agg: int
     modes: int
@@ -63,7 +65,7 @@ class CoarseSpace:
     def tree_flatten(self):
         return (
             (self.agg, self.perm, self.segids, self.acinv, self.dvec,
-             self.buckets),
+             self.dvec_T, self.buckets),
             (self.n_agg, self.modes),
         )
 
@@ -111,6 +113,42 @@ class CoarseSpace:
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         """Coarse correction P Ac^{-1} P^T r."""
         return self.prolong(self.coarse_solve(self.restrict(r)))
+
+    def apply_T(self, r_T: jnp.ndarray) -> jnp.ndarray:
+        """Component-first coarse correction: r_T [3, N] -> [3, N].
+
+        Measured 5.5 ms vs 6.3 ms for the AoS `apply` standalone at 945k
+        DOF (bench/breakdown.py `coarse_apply_T`), but switching the
+        WHOLE mixed-PCG vector state to [3, N] benched 2.4% SLOWER
+        end-to-end (0.888 vs 0.867 s/step EW at 1M DOF) — inside the
+        fused solve programs XLA already absorbs the AoS tile padding
+        that dominates standalone ops (bench/layout_microbench.py:
+        5.5x on a standalone axpy+dot pair), and the component-first
+        graph fuses slightly worse. Kept as the measured-available
+        alternative + breakdown-bench subject; production stays AoS."""
+        if self.modes != 6 or self.buckets is None:
+            # translations-only path has no bucket maps: delegate (two
+            # [N, 3] transposes per apply — off the measured hot path)
+            return self.apply(r_T.T).T
+        d = self.dvec_T.astype(r_T.dtype)
+        t = jnp.concatenate([r_T, _cross_T(d, r_T)], axis=0)  # [6, N]
+        rc = self.buckets.apply(t)  # [6, Nc]
+        xc = (
+            self.acinv @ rc.T.reshape(-1).astype(self.acinv.dtype)
+        ).reshape(self.n_agg, 6).astype(r_T.dtype)
+        za_T = xc[self.agg].T  # [6, N] (row gather, then one cheap transpose)
+        return za_T[:3] + _cross_T(za_T[3:], d)
+
+
+def _cross_T(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cross product over component-first [3, N] operands."""
+    return jnp.stack(
+        (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+    )
 
 
 def aggregate_nodes(coords: np.ndarray, agg_size: int = 512) -> np.ndarray:
@@ -397,27 +435,36 @@ def _ridge_and_factor(Ac):
 
 
 def _invert_factor(chol, block: int = 2048):
-    """Explicit Ac^{-1} from the Cholesky factor (setup-time), SYMMETRIZED
-    — CG requires a symmetric preconditioner and the triangular-solve
-    rounding breaks symmetry at ~eps. Turns every coarse apply into one
-    dense matvec (see CoarseSpace.coarse_solve).
+    """Explicit Ac^{-1} from the Cholesky factor (setup-time), SYMMETRIC
+    by construction: Ac^{-1} = (L^{-1})^T (L^{-1}) formed as one Gram
+    matmul — CG requires a symmetric preconditioner, and the Gram form
+    computes [i,j] and [j,i] as the same reduction of the same products
+    (no 0.5*(X+X^T) pass, no transpose temp). Turns every coarse apply
+    into one dense matvec (see CoarseSpace.coarse_solve).
 
-    Solved in COLUMN BLOCKS of the identity under a sequential `lax.map`:
-    a single cho_solve against the full [n, n] identity materializes
-    ~0.9 GB triangular-solve panel temps at n~16k (several live at once —
-    OOM'd next to the 1M-DOF SoA tables on the 16 GB v5e); per-block temps
-    are [n, block] and peak memory stays at the factor + the result."""
+    L^{-1} is built in COLUMN BLOCKS of the identity (ONE triangular
+    solve per block — half the flops of the previous per-block cho_solve)
+    written into a preallocated buffer under `fori_loop`: a single solve
+    against the full [n, n] identity materializes ~0.9 GB panel temps at
+    n~16k (several live at once — OOM'd next to the 1M-DOF SoA tables on
+    the 16 GB v5e), and the previous lax.map-stack + moveaxis + explicit
+    symmetrization peaked at 28.8 GB at n~30k (the 4M-DOF default coarse
+    size — BENCH_NOTES round 3). Peak is now factor + L^{-1} + result.
+    The Gram matmul runs at HIGHEST precision: a bf16 MXU pass here
+    would erode the preconditioner the triangular solves built in f32."""
     n = chol.shape[0]
     nb = -(-n // block)
 
-    def one(i):
+    def body(i, buf):
         cols = i * block + jnp.arange(block)
         eye_blk = (jnp.arange(n)[:, None] == cols[None, :]).astype(chol.dtype)
-        return jsl.cho_solve((chol, True), eye_blk)
+        blk = jsl.solve_triangular(chol, eye_blk, lower=True)
+        return jax.lax.dynamic_update_slice(buf, blk, (0, i * block))
 
-    blocks = jax.lax.map(one, jnp.arange(nb))  # [nb, n, block]
-    inv = jnp.moveaxis(blocks, 0, 1).reshape(n, nb * block)[:, :n]
-    return 0.5 * (inv + inv.T)
+    linv = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((n, nb * block), chol.dtype)
+    )[:, :n]
+    return jnp.matmul(linv.T, linv, precision=jax.lax.Precision.HIGHEST)
 
 
 def build_coarse_space(
@@ -522,6 +569,7 @@ def build_coarse_space(
         segids=jnp.asarray(agg[perm], INDEX_DTYPE),
         acinv=acinv,
         dvec=dvec,
+        dvec_T=None if dvec_np is None else jnp.asarray(dvec_np.T, jnp.float32),
         buckets=buckets,
         n_agg=n_agg,
         modes=modes,

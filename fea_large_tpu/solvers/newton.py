@@ -73,10 +73,9 @@ class SolverOptions:
     newton_atol: float = 1e-12
     max_newton: int = 30
     pcg_tol: float = 1e-12
-    #: iteration budget. On the single-device paths this is a hard bound;
-    #: the SHARDED solver compiles one fixed-length chunk program, so its
-    #: final chunk may overshoot by at most pcg_chunk-1 iterations (a soft
-    #: bound there — documented trade: one compiled program instead of two).
+    #: iteration budget — a HARD bound on every path (the chunk programs,
+    #: single-device and sharded, take the remaining budget as a traced
+    #: scalar; it only feeds the CG while-loop cond, so no second program).
     pcg_maxiter: int = 5000
     pcg_chunk: int = 250  # CG iterations per device call (mixed path)
     max_bisections: int = 5

@@ -219,6 +219,38 @@ def test_factored_coarse_matrix_matches_reference(element_type):
     np.testing.assert_allclose(A1, A2, rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.parametrize("modes", [3, 6])
+def test_component_first_applies_match_aos(modes, rng):
+    """The component-first ([3, N]) coarse correction and block-Jacobi
+    applies must agree with the production AoS forms (they are the
+    measured-alternative bench subjects — BENCH_NOTES round-3 layout
+    study; any drift would silently invalidate the comparison)."""
+    from fea_large_tpu.solvers.linear import (
+        apply_block_jacobi,
+        apply_block_jacobi_T,
+    )
+
+    mesh = box_mesh(4, 4, 4, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").build()
+    coarse = build_coarse_space(mesh, mat, bc, agg_size=16, modes=modes)
+    N = mesh.n_nodes
+    r = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
+    za = np.asarray(coarse.apply(r))
+    zt = np.asarray(coarse.apply_T(r.T).T)
+    scale = np.abs(za).max()
+    np.testing.assert_allclose(zt, za, rtol=0, atol=1e-5 * scale)
+
+    blocks = rng.standard_normal((N, 3, 3))
+    inv_blocks = jnp.asarray(
+        blocks @ blocks.transpose(0, 2, 1) + 3.0 * np.eye(3), jnp.float32
+    )
+    free = bc.free_mask.astype(jnp.float32)
+    ja = np.asarray(apply_block_jacobi(inv_blocks, free, r))
+    jt = np.asarray(apply_block_jacobi_T(inv_blocks, free.T, r.T).T)
+    np.testing.assert_allclose(jt, ja, rtol=1e-5, atol=1e-6 * np.abs(ja).max())
+
+
 def test_three_level_cuts_iterations_and_matches():
     """Three-level additive hierarchy: same solution, at most as many total
     PCG iterations as two-level on a mesh large enough to matter."""
