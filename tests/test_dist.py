@@ -426,3 +426,28 @@ def test_stacked_buckets_match_direct_segment_sum(rng):
         for c in range(3):
             np.add.at(want[c], flat, d[c])
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_sharded_pcg_maxiter_is_a_hard_bound(rng):
+    """pcg_maxiter caps the sharded chunked PCG EXACTLY (round-2 advisor:
+    the fixed-length chunk program used to overshoot by up to pcg_chunk-1;
+    the chunk now takes the remaining budget as a traced scalar). With an
+    unreachable tolerance and maxiter NOT a multiple of pcg_chunk, the
+    reported iteration count must equal maxiter, not round up."""
+    devs = _devices(2)
+    mesh = box_mesh(4, 2, 2, lx=4.0, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", -0.02).build()
+    solver = ShardedNewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", precision="mixed", preconditioner="jacobi",
+            pcg_tol=1e-30, pcg_maxiter=7, pcg_chunk=5,
+        ),
+        devices=devs,
+    )
+    u0 = solver.u_from_global(np.zeros((mesh.n_nodes, 3)))
+    u = solver._impose(solver.data, u0, jnp.asarray(1.0))
+    _, pcg_iters, ok, _rel = solver._step_pcg(u, jnp.asarray(1.0))
+    assert int(pcg_iters) == 7
+    assert not bool(ok)
