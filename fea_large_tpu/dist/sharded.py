@@ -69,6 +69,7 @@ from fea_large_tpu.solvers.newton import (
     IncrementRecord,
     SolveResult,
     SolverOptions,
+    device_forcing,
     newton_lin_tol,
 )
 
@@ -581,24 +582,19 @@ class ShardedNewtonSolver:
                 floor = jnp.minimum(
                     2.2e-14 * norm0 / jnp.maximum(norm, 1e-300), 0.1
                 )
-            if use_ew:
-                cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
-                safe = 0.9 * eta_prev**2
-                eta = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
-                eta = jnp.where(first_it, 0.5, eta)
-                eta = jnp.clip(eta, pcg_tol, 0.5)
-                lin_tol = jnp.maximum(eta, floor)
-            else:
-                eta = jnp.full((), 0.5, jnp.float64)
-                lin_tol = jnp.maximum(pcg_tol, floor)
+            eta, lin_tol = device_forcing(
+                norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, floor
+            )
             tol_eff = jnp.where(norm <= stop_newton, 1e30, lin_tol)
+            # x0=None: r0 = b exactly — an explicit zeros x0 paid a full
+            # halo-exchange tangent matvec of a known-zero vector every
+            # Newton iteration (round-3 review)
             st, state, inv_blocks, matvec, precond = _prepare_common(
-                d, soa, coarse, u_own, r64, tol_eff.astype(pdt),
-                jnp.zeros_like(r64).astype(pdt),
+                d, soa, coarse, u_own, r64, tol_eff.astype(pdt), None
             )
             st = pcg_chunk(
                 matvec, st, preconditioner=precond, dot=pdot,
-                maxiter=opts.pcg_chunk,
+                maxiter=min(opts.pcg_chunk, opts.pcg_maxiter),
             )
             st_out = PCGState(
                 st.x[None], st.r[None], st.z[None], st.p[None],
@@ -982,6 +978,11 @@ class ShardedNewtonSolver:
                     float(scale), it, norms, pcg_iters, time.perf_counter() - t0
                 )
                 return u, True, rec
+            if it == opts.max_newton - 1:
+                # the deferred-update scheme applies x at the start of the
+                # NEXT iteration — the final allowed iteration's solve
+                # could never be applied (see solvers/newton.py)
+                break
             prev_norm = norm
             eta = float(eta_v)
             cell = {"state": state, "inv_blocks": inv_blocks}

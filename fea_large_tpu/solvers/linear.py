@@ -202,7 +202,6 @@ def drive_chunked_pcg(prepare, chunk, *, tol, chunk_iters, maxiter,
     restarts = 0
     bnorm = None
     best = None
-    last_k = None
     while True:
         if first_fetch is not None:
             st_k, st_rr, st_ok, st_stop = first_fetch

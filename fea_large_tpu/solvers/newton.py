@@ -307,13 +307,40 @@ def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters,
                     use_pallas=False):
     """Phase 2 (repeated): a bounded chunk of CG iterations. Bounded device
     executions keep each call under backend execution limits; the Krylov
-    recurrence continues exactly across chunks (PCGState)."""
+    recurrence continues exactly across chunks (PCGState). `n_iters` is a
+    TRACED scalar (it only feeds the CG while-loop cond): the host loop's
+    remaining budget makes pcg_maxiter a hard bound with no second compiled
+    program and no recompile on the final partial chunk."""
     return pcg_chunk(
         lambda v: _mixed_matvec(soa, state, free32.T, v, use_pallas),
         pcg_state,
         preconditioner=_mixed_precond(inv_blocks, free32, coarse),
         maxiter=n_iters,
     )
+
+
+def device_forcing(norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew,
+                   floor):
+    """Eisenstat-Walker choice-2 forcing + mixed-precision floor — the
+    DEVICE mirror of `newton_lin_tol` (identical f64 arithmetic ->
+    identical values; the device/host trajectory-pinning tests depend on
+    it). The ONE shared implementation for the fused single-device
+    iteration, the device-resident solve, and the sharded fused iteration
+    (`dist/sharded.py`) — these were four hand-synchronized copies before
+    (round-3 review). `floor` is the caller's precision floor (1.2e-6 for
+    the f32 recurrence; the f64 sharded path passes its norm-dependent
+    form). Returns (eta, lin_tol), both f64."""
+    if use_ew:
+        cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
+        safe = 0.9 * eta_prev**2
+        eta = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
+        eta = jnp.where(first_it, 0.5, eta)
+        eta = jnp.clip(eta, pcg_tol.astype(jnp.float64), 0.5)
+        lin_tol = jnp.maximum(eta, floor)
+    else:
+        eta = jnp.full((), 0.5, jnp.float64)
+        lin_tol = jnp.maximum(pcg_tol.astype(jnp.float64), floor)
+    return eta, lin_tol
 
 
 def newton_lin_tol(opts, it, norms, norm0, eta):
@@ -395,18 +422,9 @@ def _mixed_newton_iter_fn(
     else:
         b64, norm = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
         b = b64.astype(jnp.float32)
-    # Eisenstat-Walker choice-2 forcing + mixed-precision floor, the device
-    # mirror of `newton_lin_tol` (same f64 arithmetic -> identical values)
-    if use_ew:
-        cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
-        safe = 0.9 * eta_prev**2
-        eta = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
-        eta = jnp.where(first_it, 0.5, eta)
-        eta = jnp.clip(eta, pcg_tol.astype(jnp.float64), 0.5)
-        lin_tol = jnp.maximum(eta, 1.2e-6)
-    else:
-        eta = jnp.full((), 0.5, jnp.float64)
-        lin_tol = jnp.maximum(pcg_tol.astype(jnp.float64), 1.2e-6)
+    eta, lin_tol = device_forcing(
+        norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, 1.2e-6
+    )
     diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
     inv_blocks = jacobi_inverse_blocks(diag, free32)
     tol_eff = jnp.where(norm <= stop_newton, 1e30, lin_tol).astype(jnp.float32)
@@ -435,16 +453,18 @@ def _mixed_solve_fn(
       * identical arithmetic per iteration (same EW f64 forcing, same
         3e-2||R0|| f32-residual gate, same acceptance rule lin_ok or
         rel<=1e-3) — the common no-breakdown trajectory matches;
-      * NO rounding-breakdown restarts or best-iterate polishing — any CG
-        failure exits with `failed` and the caller falls back / bisects,
-        exactly as the host loop's break does;
+      * NO rounding-breakdown restarts or best-iterate polishing on
+        device — a CG breakdown exits with `failed=True` and the HOST loop
+        redoes that Newton iteration with its restart + best-iterate
+        machinery (`_newton_mixed`); only a non-finite residual
+        (`poisoned=True`) is terminal -> bisection;
       * bounded: at most `cg_budget` TOTAL CG iterations per call (device
         executions >~5 min are killed — CLAUDE.md); on exhaustion it
         returns `exhausted=True` and the host loop continues the same
         Newton sequence warm-started (u, norms, eta, norm0).
 
     Returns (u, norms[max_newton], cgs[max_newton], n_iters, converged,
-    failed, exhausted, eta, norm0, total_cg)."""
+    failed, exhausted, poisoned, eta, norm0, total_cg)."""
     free32 = bc.free_mask.astype(jnp.float32)
 
     def freeze(u32_T):
@@ -456,7 +476,7 @@ def _mixed_solve_fn(
 
     def body(c):
         (u, x_prev, prev_norm, eta, norm0, it, total_cg, norms, cgs,
-         done, conv, failed, exhausted) = c
+         done, conv, failed, exhausted, poisoned) = c
         u = u + x_prev.astype(u.dtype)
         state = freeze(u.astype(jnp.float32).T)
 
@@ -484,20 +504,19 @@ def _mixed_solve_fn(
         norms = norms.at[it].set(norm)
         bad = ~jnp.isfinite(norm)
         conv = (norm <= stop_n) & ~bad
-        if use_ew:
-            cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
-            safe = 0.9 * eta**2
-            eta_n = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
-            eta_n = jnp.where(it == 0, 0.5, eta_n)
-            eta_n = jnp.clip(eta_n, pcg_tol.astype(jnp.float64), 0.5)
-            lin_tol = jnp.maximum(eta_n, 1.2e-6)
-        else:
-            eta_n = jnp.full((), 0.5, jnp.float64)
-            lin_tol = jnp.maximum(pcg_tol.astype(jnp.float64), 1.2e-6)
+        eta_n, lin_tol = device_forcing(
+            norm, prev_norm, eta, it == 0, pcg_tol, use_ew, 1.2e-6
+        )
         skip = conv | bad
         # converged/NaN: inflate the stop target so CG exits at 0
-        # iterations (the wasted freeze+Jacobi is ~40 ms once per solve)
-        tol_eff = jnp.where(skip, 1e30, lin_tol).astype(jnp.float32)
+        # iterations (the wasted freeze+Jacobi is ~40 ms once per solve).
+        # Same for the LAST allowed iteration: the deferred-update scheme
+        # applies x at the start of the NEXT iteration, so its solve could
+        # never be applied — skipping it changes no terminal flag
+        # (max_newton exhaustion -> bisection either way) but saves a full
+        # discarded CG solve on every bisection-bound increment
+        discard = (it + 1 >= max_newton) & ~skip
+        tol_eff = jnp.where(skip | discard, 1e30, lin_tol).astype(jnp.float32)
         diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
         inv_blocks = jacobi_inverse_blocks(diag, free32)
         matvec = lambda v: _mixed_matvec(soa, state, free32.T, v, use_pallas)  # noqa: E731
@@ -521,13 +540,16 @@ def _mixed_solve_fn(
         cgs = cgs.at[it].set(st.k)
         it_n = it + 1
         done = skip | failed_n | hit_budget | (it_n >= max_newton)
-        # on budget exhaustion the host loop REDOES this Newton iteration
-        # (the partial CG solution is discarded); hand back the PRE-
-        # iteration forcing value so the redo computes the same eta
-        eta_out = jnp.where(hit_budget, eta, eta_n)
+        # on budget exhaustion OR CG breakdown the host loop REDOES this
+        # Newton iteration (for breakdown: with its restart + best-iterate
+        # machinery, which this device loop deliberately lacks — the
+        # 'host-loop fallback on CG failure' of the SolverOptions
+        # docstring); the partial CG solution is discarded, so hand back
+        # the PRE-iteration forcing value so the redo computes the same eta
+        eta_out = jnp.where(hit_budget | failed_n, eta, eta_n)
         return (
             u, st.x, norm, eta_out, norm0, it_n, total_cg, norms, cgs,
-            done, conv, failed_n | bad, hit_budget,
+            done, conv, failed_n, hit_budget, bad,
         )
 
     n = u0.shape[0]
@@ -537,11 +559,15 @@ def _mixed_solve_fn(
         jnp.int32(0), jnp.int32(0), jnp.zeros((max_newton,), jnp.float64),
         jnp.zeros((max_newton,), jnp.int32), jnp.bool_(False),
         jnp.bool_(False), jnp.bool_(False), jnp.bool_(False),
+        jnp.bool_(False),
     )
     out = jax.lax.while_loop(lambda c: ~c[9], body, init)
     (u, _x, _pn, eta, norm0, it_n, total_cg, norms, cgs,
-     _done, conv, failed, exhausted) = out
-    return u, norms, cgs, it_n, conv, failed, exhausted, eta, norm0, total_cg
+     _done, conv, failed, exhausted, poisoned) = out
+    return (
+        u, norms, cgs, it_n, conv, failed, exhausted, poisoned, eta, norm0,
+        total_cg,
+    )
 
 
 _residual_jit = jax.jit(_residual_fn)
@@ -551,9 +577,7 @@ _step_direct_jit = jax.jit(_step_direct_fn)
 _step_matfree_jit = jax.jit(_step_matfree_fn)
 _step_bcsr_jit = jax.jit(_step_bcsr_fn)
 _mixed_prepare_jit = jax.jit(_mixed_prepare_fn, static_argnames="use_pallas")
-_mixed_chunk_jit = jax.jit(
-    _mixed_chunk_fn, static_argnames=("n_iters", "use_pallas")
-)
+_mixed_chunk_jit = jax.jit(_mixed_chunk_fn, static_argnames="use_pallas")
 _mixed_newton_iter_jit = jax.jit(
     _mixed_newton_iter_fn,
     static_argnames=("chunk_iters", "use_pallas", "use_ew", "resid32"),
@@ -709,7 +733,7 @@ class NewtonSolver:
         def chunk(st, n):
             return _mixed_chunk_jit(
                 st, self._soa, cell["state"], cell["inv_blocks"], free32,
-                self._coarse, n, use_pallas=self.options.pallas,
+                self._coarse, jnp.int32(n), use_pallas=self.options.pallas,
             )
 
         x, total, converged, rel = drive_chunked_pcg(
@@ -773,25 +797,33 @@ class NewtonSolver:
                 use_ew=use_ew,
             )
             u_d = out[0]
-            (norms_a, cgs_a, n_it, conv, failed_d, exhausted, eta_d,
-             norm0_d, _tot) = jax.device_get(out[1:])
+            (norms_a, cgs_a, n_it, conv, failed_d, exhausted, poisoned,
+             eta_d, norm0_d, _tot) = jax.device_get(out[1:])
             n_it = int(n_it)
-            if bool(conv) or bool(failed_d) or not bool(exhausted):
-                # terminal on device: converged, CG failure / NaN
+            if bool(conv) or bool(poisoned) or (
+                not bool(exhausted) and not bool(failed_d)
+            ):
+                # terminal on device: converged, NaN residual
                 # (-> bisection), or max_newton exhausted — the mirror of
-                # the host loop's three exits
+                # the host loop's terminal exits. A CG BREAKDOWN is NOT
+                # terminal: it falls through to the host loop below, which
+                # owns the rounding-breakdown restart + best-iterate
+                # machinery the device loop deliberately lacks
                 norms = [float(x) for x in norms_a[:n_it]]
                 pcg_list = [int(x) for x in cgs_a[:n_it]]
-                if bool(conv):
-                    pcg_list = pcg_list[:-1]  # converged check ran 0 iters
+                if bool(conv) or n_it >= opts.max_newton:
+                    # converged check ran 0 iters; ditto the skipped
+                    # never-applied solve of the max_newton-th iteration
+                    pcg_list = pcg_list[:-1]
                 rec = IncrementRecord(
                     float(scale), n_it - 1 if bool(conv) else n_it, norms,
                     pcg_list, time.perf_counter() - t0,
                 )
                 return u_d, bool(conv), rec
-            # budget exhausted mid-solve: continue the SAME Newton sequence
-            # on the host-orchestrated loop below, warm-started (the last
-            # device iteration is redone; its partial CG is discarded)
+            # budget exhausted or CG breakdown mid-solve: continue the SAME
+            # Newton sequence on the host-orchestrated loop below, warm-
+            # started (the last device iteration is redone; its partial CG
+            # is discarded and eta_d is the pre-iteration forcing value)
             u = u_d
             n_use = max(n_it - 1, 0)
             norms = [float(x) for x in norms_a[:n_use]]
@@ -820,7 +852,8 @@ class NewtonSolver:
                     jnp.asarray(norm0 is None), stop_dev, self._pcg_tol32,
                     self._soa64, self._soa, self.material, self._material32,
                     self.bc, self.f_ext, self._coarse,
-                    chunk_iters=opts.pcg_chunk, use_pallas=opts.pallas,
+                    chunk_iters=min(opts.pcg_chunk, opts.pcg_maxiter),
+                    use_pallas=opts.pallas,
                     use_ew=use_ew, resid32=resid32,
                 )
             )
@@ -842,6 +875,13 @@ class NewtonSolver:
                     time.perf_counter() - t0,
                 )
                 return u, True, rec
+            if it == opts.max_newton - 1:
+                # the deferred-update scheme applies x at the start of the
+                # NEXT iteration — the final allowed iteration's solve
+                # could never be applied, so don't run its continuation
+                # (the fused program's first chunk already ran; that part
+                # is unavoidable without a second compiled program)
+                break
             prev_norm = norm
             eta = float(eta_v)
             cell = {"state": state, "inv_blocks": inv_blocks}
@@ -862,7 +902,7 @@ class NewtonSolver:
             def chunk(st, n):
                 return _mixed_chunk_jit(
                     st, self._soa, cell["state"], cell["inv_blocks"],
-                    free32, self._coarse, opts.pcg_chunk,
+                    free32, self._coarse, jnp.int32(n),
                     use_pallas=opts.pallas,
                 )
 

@@ -380,3 +380,73 @@ def test_device_loop_budget_continuation():
     scale = float(np.abs(np.asarray(full.u)).max())
     err = float(np.abs(np.asarray(tiny.u) - np.asarray(full.u)).max())
     assert err < 1e-7 * scale, err
+
+
+@pytest.mark.slow
+def test_device_loop_matches_host_on_floor_mesh():
+    """Device-loop vs host-loop equivalence on the elongated floor mesh
+    (f32-unreachable pcg_tol, recurrence floors every late solve): both
+    paths must converge to the same solution. The explicit CG-failure ->
+    host-fallback branch is pinned by
+    test_device_loop_cg_breakdown_is_not_terminal below."""
+    mesh = box_mesh(16, 2, 2, lx=4.0, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", -0.05).build()
+    base = dict(
+        linear="pcg", precision="mixed", preconditioner="two_level",
+        agg_size=32, coarse_modes=6, forcing="ew", pcg_tol=1e-8,
+        pcg_maxiter=300, newton_rtol=1e-8, max_newton=40,
+    )
+    res_d = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(device_loop=True, **base)
+    ).solve()
+    res_h = NewtonSolver(
+        mesh, mat, bc, options=SolverOptions(device_loop=False, **base)
+    ).solve()
+    assert res_d.converged and res_h.converged
+    scale = float(np.abs(np.asarray(res_h.u)).max())
+    err = float(np.abs(np.asarray(res_d.u) - np.asarray(res_h.u)).max())
+    assert err < 1e-6 * scale, err
+
+
+def test_device_loop_cg_breakdown_is_not_terminal(monkeypatch):
+    """Mechanism pin for the round-3 fix: when the device-resident solve
+    reports a CG breakdown (failed=True, poisoned=False), _newton_mixed
+    must CONTINUE on the host loop (which owns the rounding-breakdown
+    restart machinery) instead of returning failure -> bisection. The
+    device solve is wrapped to report a breakdown after its 2nd Newton
+    iteration exactly once; the increment must still converge with no
+    bisection recorded."""
+    from fea_large_tpu.solvers import newton as nm
+
+    mesh, mat, bc = _device_loop_problem()
+    real = nm._mixed_solve_jit
+    fired = {}
+
+    def fake(*args, **kwargs):
+        out = real(*args, **kwargs)
+        if fired:
+            return out
+        fired["yes"] = True
+        (u, norms, cgs, n_it, conv, failed, exhausted, poisoned, eta,
+         norm0, total) = out
+        return (
+            u, norms, cgs, jnp.minimum(n_it, 2), jnp.bool_(False),
+            jnp.bool_(True), jnp.bool_(False), jnp.bool_(False), eta,
+            norm0, total,
+        )
+
+    monkeypatch.setattr(nm, "_mixed_solve_jit", fake)
+    res = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", precision="mixed", preconditioner="two_level",
+            coarse_modes=6, forcing="ew", pcg_tol=1e-6, newton_rtol=1e-9,
+            device_loop=True,
+        ),
+    ).solve()
+    assert fired
+    assert res.converged
+    # no bisection: ONE increment record, at the full load factor
+    assert len(res.history) == 1
+    assert res.history[0].load_factor == 1.0
