@@ -450,3 +450,33 @@ def test_device_loop_cg_breakdown_is_not_terminal(monkeypatch):
     # no bisection: ONE increment record, at the full load factor
     assert len(res.history) == 1
     assert res.history[0].load_factor == 1.0
+
+
+def test_device_forcing_mirrors_host_newton_lin_tol():
+    """`device_forcing` (the device-side EW mirror used by the fused
+    iteration, the device-resident solve, and the sharded fused iteration)
+    must produce bit-identical forcing values to the host `newton_lin_tol`
+    on the same residual history — the device/host trajectory-pinning
+    tests rest on this equality (round-3 review: it was four
+    hand-synchronized copies)."""
+    from fea_large_tpu.solvers.newton import device_forcing, newton_lin_tol
+
+    norms = [1.0, 0.31, 4.1e-2, 8.3e-4, 2.7e-6, 9.9e-9]
+    for forcing in ("ew", "fixed"):
+        opts = SolverOptions(forcing=forcing, precision="mixed", pcg_tol=1e-6)
+        eta_h = 0.5
+        eta_d = jnp.full((), 0.5, jnp.float64)
+        for it in range(1, len(norms)):
+            hist = norms[: it + 1]
+            tol_h, eta_h = newton_lin_tol(opts, it, hist, norms[0], eta_h)
+            eta_d, tol_d = device_forcing(
+                jnp.asarray(hist[-1], jnp.float64),
+                jnp.asarray(hist[-2], jnp.float64),
+                eta_d,
+                jnp.asarray(False),
+                jnp.asarray(opts.pcg_tol, jnp.float64),
+                forcing == "ew",
+                1.2e-6,
+            )
+            assert float(tol_d) == tol_h, (forcing, it, float(tol_d), tol_h)
+            assert float(eta_d) == eta_h, (forcing, it, float(eta_d), eta_h)
