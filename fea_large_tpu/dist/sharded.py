@@ -323,6 +323,13 @@ class ShardedNewtonSolver:
         )
 
         modes = self.options.coarse_modes
+        if modes not in (3, 6):
+            # coarse_modes=12 is an EXPERIMENTAL single-device basis
+            # (solvers/multilevel.py); wire it here only once it earns a
+            # measured win over the RBM two-level
+            raise NotImplementedError(
+                f"sharded coarse supports modes 3 or 6, got {modes}"
+            )
         coords = self.mesh.coords_host
         agg_size = self.options.agg_size or default_agg_size(
             self.mesh.n_nodes, target_coarse=5000 if modes == 3 else 2500

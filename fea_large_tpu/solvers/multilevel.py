@@ -48,6 +48,11 @@ class CoarseSpace:
           low-energy bending/twisting modes a translation-only coarse space
           cannot represent (standard smoothed-aggregation practice for
           elasticity) and cuts CG iteration counts accordingly.
+      12 — EXPERIMENTAL: RBM + the six linear STRAIN fields u_i = eps_ij
+          d_j per aggregate, spanning ALL piecewise-linear displacement
+          fields (B_n = [I | cross(d_n) | S(d_n)], `_strain_prolong`).
+          Single-device probing assembly only; evaluated against modes=6
+          at matched coarse dimension in bench/coarse_modes_experiment.py.
     """
 
     agg: jnp.ndarray  # i32[N] aggregate id per node
@@ -78,11 +83,15 @@ class CoarseSpace:
         """P^T r: [N, 3] -> [Nc, modes].
 
         Mode 3+k of aggregate A is sum_{n in A} (e_k x d_n) . r_n
-        = sum (d_n x r_n)_k. Deterministic: bucketed gather-sum when maps
-        exist, else sorted segment sum."""
+        = sum (d_n x r_n)_k; modes 6..11 (modes=12) are the six linear
+        STRAIN moments sum S(d_n)^T r_n (`_strain_restrict`). Deterministic:
+        bucketed gather-sum when maps exist, else sorted segment sum."""
         t = r
-        if self.modes == 6:
-            t = jnp.concatenate([r, jnp.cross(self.dvec.astype(r.dtype), r)], 1)
+        if self.modes >= 6:
+            d = self.dvec.astype(r.dtype)
+            t = jnp.concatenate([r, jnp.cross(d, r)], 1)
+            if self.modes == 12:
+                t = jnp.concatenate([t, _strain_restrict(d, r)], 1)
         if self.buckets is not None:
             return self.buckets.apply(t.T).T
         return jax.ops.segment_sum(
@@ -91,10 +100,15 @@ class CoarseSpace:
         )
 
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
-        """P xc: [Nc, modes] -> [N, 3] ((P xc)_n = t_A + omega_A x d_n)."""
+        """P xc: [Nc, modes] -> [N, 3] ((P xc)_n = t_A + omega_A x d_n
+        [+ S(d_n) eps_A for modes=12])."""
         za = xc[self.agg]
-        if self.modes == 6:
-            return za[:, :3] + jnp.cross(za[:, 3:], self.dvec.astype(xc.dtype))
+        if self.modes >= 6:
+            d = self.dvec.astype(xc.dtype)
+            out = za[:, :3] + jnp.cross(za[:, 3:6], d)
+            if self.modes == 12:
+                out = out + _strain_prolong(d, za[:, 6:12])
+            return out
         return za
 
     def coarse_solve(self, rc: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +152,37 @@ class CoarseSpace:
         ).reshape(self.n_agg, 6).astype(r_T.dtype)
         za_T = xc[self.agg].T  # [6, N] (row gather, then one cheap transpose)
         return za_T[:3] + _cross_T(za_T[3:], d)
+
+
+def _strain_restrict(d: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """S(d)^T r [N, 6]: the six linear-strain moment components of r with
+    the normalized arm d (modes=12 coarse basis; engineering-shear
+    ordering xx, yy, zz, xy, xz, yz). S(d) columns are `_strain_prolong`'s
+    fields — restrict is its exact transpose, as CG symmetry requires."""
+    return jnp.stack(
+        (
+            d[:, 0] * r[:, 0],
+            d[:, 1] * r[:, 1],
+            d[:, 2] * r[:, 2],
+            d[:, 1] * r[:, 0] + d[:, 0] * r[:, 1],
+            d[:, 2] * r[:, 0] + d[:, 0] * r[:, 2],
+            d[:, 2] * r[:, 1] + d[:, 1] * r[:, 2],
+        ),
+        axis=1,
+    )
+
+
+def _strain_prolong(d: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """S(d) eps [N, 3]: the displacement of the linear strain field eps
+    at the normalized arm d (u_i = eps_ij d_j, engineering shears)."""
+    return jnp.stack(
+        (
+            d[:, 0] * eps[:, 0] + d[:, 1] * eps[:, 3] + d[:, 2] * eps[:, 4],
+            d[:, 1] * eps[:, 1] + d[:, 0] * eps[:, 3] + d[:, 2] * eps[:, 5],
+            d[:, 2] * eps[:, 2] + d[:, 0] * eps[:, 4] + d[:, 1] * eps[:, 5],
+        ),
+        axis=1,
+    )
 
 
 def _cross_T(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -284,7 +329,12 @@ def _probe_run(soa, state0, free32, agg_j, Bn, dvec, color_node, cm,
         v = jnp.where(color_node == c, 1.0, 0.0)[:, None] * col
         vm_T = (v * free32).T
         y = soa_apply_tangent(soa, state0, vm_T).T * free32
-        t = y if modes == 3 else jnp.concatenate([y, jnp.cross(dvec, y)], 1)
+        if modes == 3:
+            t = y
+        else:
+            t = jnp.concatenate([y, jnp.cross(dvec, y)], 1)
+            if modes == 12:
+                t = jnp.concatenate([t, _strain_restrict(dvec, y)], 1)
         return jax.ops.segment_sum(t, agg_j, num_segments=n_agg)
 
     return jax.lax.map(probe, cm)
@@ -321,11 +371,21 @@ def _probe_plan(conn, agg, n_agg, modes, dvec):
     Bn = np.zeros((N, 3, modes), np.float32)
     Bn[:, 0, 0] = Bn[:, 1, 1] = Bn[:, 2, 2] = 1.0
     d = np.zeros((N, 3), np.float32)
-    if modes == 6:
+    if modes >= 6:
         d = np.asarray(dvec, np.float32)
         Bn[:, 1, 3], Bn[:, 2, 3] = -d[:, 2], d[:, 1]
         Bn[:, 0, 4], Bn[:, 2, 4] = d[:, 2], -d[:, 0]
         Bn[:, 0, 5], Bn[:, 1, 5] = -d[:, 1], d[:, 0]
+    if modes == 12:
+        # linear strain fields u_i = eps_ij d_j (engineering shears) —
+        # columns of `_strain_prolong`; with translations + rotations the
+        # 12-mode basis spans ALL piecewise-linear displacement fields
+        Bn[:, 0, 6] = d[:, 0]
+        Bn[:, 1, 7] = d[:, 1]
+        Bn[:, 2, 8] = d[:, 2]
+        Bn[:, 0, 9], Bn[:, 1, 9] = d[:, 1], d[:, 0]
+        Bn[:, 0, 10], Bn[:, 2, 10] = d[:, 2], d[:, 0]
+        Bn[:, 1, 11], Bn[:, 2, 11] = d[:, 2], d[:, 1]
     # (color, mode) probe schedule; probe vectors are built ON DEVICE from
     # the small per-node tables (shipping the [P, N, 3] probe stack through
     # the tunneled host->device link would dominate the setup time)
@@ -500,12 +560,19 @@ def build_coarse_space(
     docstring) with a default target of ~2500 aggregates so the dense
     factor stays the same size as the 3-mode default (~15k dofs).
     """
-    if modes not in (3, 6):
-        raise ValueError(f"coarse modes must be 3 or 6, got {modes}")
+    if modes not in (3, 6, 12):
+        raise ValueError(f"coarse modes must be 3, 6 or 12, got {modes}")
+    if modes == 12 and soa is None:
+        raise ValueError(
+            "coarse_modes=12 (EXPERIMENTAL rigid-body + linear-strain basis)"
+            " is assembled by on-device probing only — pass soa"
+        )
     coords = mesh.coords_host
     if agg_size is None:
         agg_size = default_agg_size(
-            mesh.n_nodes, target_coarse=5000 if modes == 3 else 2500
+            # match the dense-factor size across bases: modes*Nc ~ 15k
+            mesh.n_nodes,
+            target_coarse={3: 5000, 6: 2500, 12: 1250}[modes],
         )
     agg = aggregate_nodes(coords, agg_size)
     n_agg = int(agg.max()) + 1
@@ -517,7 +584,7 @@ def build_coarse_space(
     dvec = None
     buckets = None
     cent = None
-    if modes == 6:
+    if modes >= 6:
         cnt = np.bincount(agg, minlength=n_agg).astype(float)
         cent = np.stack(
             [

@@ -84,9 +84,10 @@ class SolverOptions:
     #: O(h^-1) iteration growth; solvers/multilevel.py). Mixed path only.
     preconditioner: str = "jacobi"
     agg_size: int | None = None  # nodes/aggregate ("two_level"; None = auto)
-    #: coarse basis per aggregate: 3 (translations) or 6 (full rigid-body
+    #: coarse basis per aggregate: 3 (translations), 6 (full rigid-body
     #: modes — the elasticity near-kernel; cuts CG iterations, see
-    #: solvers/multilevel.py::CoarseSpace). "two_level" only.
+    #: solvers/multilevel.py::CoarseSpace), or 12 (EXPERIMENTAL, RBM +
+    #: linear strain fields; single-device only). "two_level" only.
     coarse_modes: int = 3
     #: linear-solve forcing: "fixed" solves every Newton system to pcg_tol;
     #: "ew" uses Eisenstat-Walker (choice 2) adaptive forcing — early Newton

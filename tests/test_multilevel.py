@@ -26,13 +26,18 @@ def test_aggregate_nodes_partition():
     assert counts.min() >= 1
 
 
-@pytest.mark.parametrize("modes", [3, 6])
+@pytest.mark.parametrize("modes", [3, 6, 12])
 def test_transfer_operators_adjoint(modes, rng):
     """restrict must be the exact adjoint of prolong: <P^T r, xc> == <r, P xc>."""
     mesh = box_mesh(3, 3, 3, element_type="tet4")
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
     bc = DirichletBuilder(mesh).fix("zmin").build()
-    coarse = build_coarse_space(mesh, mat, bc, agg_size=16, modes=modes)
+    kw = {}
+    if modes == 12:  # experimental basis: probing assembly only
+        from fea_large_tpu.ops.soa import SoAProblem
+
+        kw["soa"] = SoAProblem.build(mesh, jnp.float32)
+    coarse = build_coarse_space(mesh, mat, bc, agg_size=16, modes=modes, **kw)
     r = jnp.asarray(rng.standard_normal((mesh.n_nodes, 3)), jnp.float32)
     xc = jnp.asarray(rng.standard_normal((coarse.n_agg, modes)), jnp.float32)
     lhs = float(jnp.vdot(coarse.restrict(r), xc))
@@ -279,3 +284,96 @@ def test_three_level_cuts_iterations_and_matches():
     scale = np.abs(u_2l).max()
     np.testing.assert_allclose(u_3l, u_2l, rtol=0, atol=2e-7 * scale)
     assert it_3l <= 1.05 * it_2l, (it_3l, it_2l)
+
+
+def test_probing_coarse_modes12_matches_direct_galerkin(rng):
+    """The probed 12-mode (RBM + linear strain) coarse matrix must equal
+    the direct Galerkin triple product P^T (M K0 M) P with the explicit
+    [I | cross(d) | S(d)] prolongator and the dense tangent at u=0."""
+    from fea_large_tpu.assembly.dense import assemble_dense
+    from fea_large_tpu.elements.kernels import precompute_geometry
+    from fea_large_tpu.ops.soa import SoAProblem
+    from fea_large_tpu.solvers.multilevel import (
+        _device_coarse_matrix_probing,
+        _rbm_dvec,
+    )
+
+    mesh = box_mesh(3, 3, 3, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.3), jnp.asarray(0.7))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("xmax", "x", 0.1).build()
+    N = mesh.n_nodes
+    geom = precompute_geometry(mesh.coords, mesh.conn, mesh.element)
+    u0 = jnp.zeros((N, 3), mesh.coords.dtype)
+    K, _ = assemble_dense(u0, mesh.conn, geom, mat)
+    K = np.asarray(K).reshape(3 * N, 3 * N)
+    m = np.asarray(bc.free_mask).reshape(-1)
+    K = K * m[:, None] * m[None, :]
+
+    coords = mesh.coords_host
+    agg = aggregate_nodes(coords, agg_size=12)
+    n_agg = int(agg.max()) + 1
+    cnt = np.bincount(agg, minlength=n_agg).astype(float)
+    cent = np.stack(
+        [np.bincount(agg, weights=coords[:, d], minlength=n_agg) / cnt
+         for d in range(3)], axis=1,
+    )
+    dvec = _rbm_dvec(coords, agg, cent, n_agg)
+    P = np.zeros((3 * N, 12 * n_agg))
+    for n in range(N):
+        A = agg[n]
+        d = dvec[n]
+        B = np.zeros((3, 12))
+        B[0, 0] = B[1, 1] = B[2, 2] = 1.0
+        B[1, 3], B[2, 3] = -d[2], d[1]
+        B[0, 4], B[2, 4] = d[2], -d[0]
+        B[0, 5], B[1, 5] = -d[1], d[0]
+        B[0, 6], B[1, 7], B[2, 8] = d[0], d[1], d[2]
+        B[0, 9], B[1, 9] = d[1], d[0]
+        B[0, 10], B[2, 10] = d[2], d[0]
+        B[1, 11], B[2, 11] = d[2], d[1]
+        P[3 * n : 3 * n + 3, 12 * A : 12 * A + 12] = B
+    Ac_direct = P.T @ K @ P
+
+    soa = SoAProblem.build(mesh, jnp.float32)
+    mat32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), mat)
+    Ac_probed = np.asarray(
+        _device_coarse_matrix_probing(
+            soa, mat32, bc.free_mask, coords, agg, dvec, n_agg, 12,
+            mesh.conn_host,
+        )
+    )
+    scale = np.abs(Ac_direct).max()
+    np.testing.assert_allclose(
+        Ac_probed, Ac_direct, rtol=0, atol=3e-5 * scale
+    )
+
+
+def test_modes12_solves_and_needs_no_more_iterations_than_rbm():
+    """The 12-mode coarse space CONTAINS the 6-mode RBM space on the same
+    aggregates, so at equal agg_size the mixed solve must converge to the
+    same solution with at most as many total PCG iterations."""
+    mesh = box_mesh(10, 10, 10, element_type="tet4")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    u0 = jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype)
+    u0 = u0.at[:, 2].set(-0.05 * mesh.coords[:, 2])
+
+    def run(modes):
+        solver = NewtonSolver(
+            mesh, mat, bc,
+            options=SolverOptions(
+                linear="pcg", precision="mixed", preconditioner="two_level",
+                agg_size=48, coarse_modes=modes, pcg_tol=1e-6,
+                newton_rtol=1e-9, max_newton=60,
+            ),
+        )
+        res = solver.solve(u0=u0)
+        assert res.converged, modes
+        total_pcg = sum(sum(r.pcg_iters) for r in res.history)
+        return np.asarray(res.u), total_pcg
+
+    u_6, it_6 = run(6)
+    u_12, it_12 = run(12)
+    scale = np.abs(u_6).max()
+    np.testing.assert_allclose(u_12, u_6, rtol=0, atol=2e-7 * scale)
+    assert it_12 <= it_6, (it_12, it_6)
