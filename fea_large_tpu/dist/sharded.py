@@ -590,7 +590,8 @@ class ShardedNewtonSolver:
                     2.2e-14 * norm0 / jnp.maximum(norm, 1e-300), 0.1
                 )
             eta, lin_tol = device_forcing(
-                norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, floor
+                norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, floor,
+                stop_newton,
             )
             tol_eff = jnp.where(norm <= stop_newton, 1e30, lin_tol)
             # x0=None: r0 = b exactly — an explicit zeros x0 paid a full

@@ -321,7 +321,7 @@ def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters,
 
 
 def device_forcing(norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew,
-                   floor):
+                   floor, stop_newton):
     """Eisenstat-Walker choice-2 forcing + mixed-precision floor — the
     DEVICE mirror of `newton_lin_tol` (identical f64 arithmetic ->
     identical values; the device/host trajectory-pinning tests depend on
@@ -330,12 +330,21 @@ def device_forcing(norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew,
     (`dist/sharded.py`) — these were four hand-synchronized copies before
     (round-3 review). `floor` is the caller's precision floor (1.2e-6 for
     the f32 recurrence; the f64 sharded path passes its norm-dependent
-    form). Returns (eta, lin_tol), both f64."""
+    form). `stop_newton` is the outer Newton stop target: the TERMINATION
+    safeguard (Eisenstat-Walker 1996 §6; the same form PETSc SNES uses)
+    loosens eta to 0.5*stop/||R|| when EW asks for more reduction than the
+    Newton solve still needs — without it the final linear solve of every
+    increment oversolves by the gap between eta and stop/||R|| (measured
+    round 3: the last step burned 25 of 91 total CG iterations to land
+    6.2x BELOW the convergence contract). Returns (eta, lin_tol), f64."""
     if use_ew:
         cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
         safe = 0.9 * eta_prev**2
         eta = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
         eta = jnp.where(first_it, 0.5, eta)
+        eta = jnp.maximum(
+            eta, 0.5 * stop_newton / jnp.maximum(norm, 1e-300)
+        )
         eta = jnp.clip(eta, pcg_tol.astype(jnp.float64), 0.5)
         lin_tol = jnp.maximum(eta, floor)
     else:
@@ -364,6 +373,10 @@ def newton_lin_tol(opts, it, norms, norm0, eta):
             cand = 0.9 * (norms[-1] / norms[-2]) ** 2
             safe = 0.9 * eta**2
             eta = max(cand, safe) if safe > 0.1 else cand
+        # termination safeguard — mirror of `device_forcing`: never solve
+        # tighter than half the reduction the Newton stop still requires
+        stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
+        eta = max(eta, 0.5 * stop_n / max(norms[-1], 1e-300))
         eta = min(max(eta, opts.pcg_tol), 0.5)
         lin_tol = eta
     if opts.precision == "mixed":
@@ -424,7 +437,8 @@ def _mixed_newton_iter_fn(
         b64, norm = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
         b = b64.astype(jnp.float32)
     eta, lin_tol = device_forcing(
-        norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, 1.2e-6
+        norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, 1.2e-6,
+        stop_newton,
     )
     diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
     inv_blocks = jacobi_inverse_blocks(diag, free32)
@@ -506,7 +520,7 @@ def _mixed_solve_fn(
         bad = ~jnp.isfinite(norm)
         conv = (norm <= stop_n) & ~bad
         eta_n, lin_tol = device_forcing(
-            norm, prev_norm, eta, it == 0, pcg_tol, use_ew, 1.2e-6
+            norm, prev_norm, eta, it == 0, pcg_tol, use_ew, 1.2e-6, stop_n
         )
         skip = conv | bad
         # converged/NaN: inflate the stop target so CG exits at 0

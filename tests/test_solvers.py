@@ -470,8 +470,10 @@ def test_device_forcing_mirrors_host_newton_lin_tol():
     norms = [1.0, 0.31, 4.1e-2, 8.3e-4, 2.7e-6, 9.9e-9]
     for forcing in ("ew", "fixed"):
         opts = SolverOptions(forcing=forcing, precision="mixed", pcg_tol=1e-6)
+        stop_n = max(opts.newton_rtol * norms[0], opts.newton_atol)
         eta_h = 0.5
         eta_d = jnp.full((), 0.5, jnp.float64)
+        saw_safeguard = False
         for it in range(1, len(norms)):
             hist = norms[: it + 1]
             tol_h, eta_h = newton_lin_tol(opts, it, hist, norms[0], eta_h)
@@ -483,6 +485,17 @@ def test_device_forcing_mirrors_host_newton_lin_tol():
                 jnp.asarray(opts.pcg_tol, jnp.float64),
                 forcing == "ew",
                 1.2e-6,
+                jnp.asarray(stop_n, jnp.float64),
             )
             assert float(tol_d) == tol_h, (forcing, it, float(tol_d), tol_h)
             assert float(eta_d) == eta_h, (forcing, it, float(eta_d), eta_h)
+            # the final history entry sits within a decade of stop_n: the
+            # termination safeguard must have LOOSENED eta to exactly the
+            # remaining half-reduction (oversolving the last system was
+            # round 3's single largest measured waste: 25 of 91 CG iters)
+            if forcing == "ew" and 0.5 * stop_n / hist[-1] > float(eta_d) * 0.999:
+                saw_safeguard = float(eta_d) == min(
+                    0.5, max(0.5 * stop_n / hist[-1], opts.pcg_tol)
+                )
+        if forcing == "ew":
+            assert saw_safeguard
