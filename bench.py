@@ -102,6 +102,12 @@ def main():
             coarse_modes=int(os.environ.get("FEA_BENCH_COARSE_MODES", 6)),
             pallas=bool(int(os.environ.get("FEA_BENCH_PALLAS", "0"))),
             forcing="ew" if mode == "newton" else "fixed",
+            # EW lower cap 1e-2: minimizes TOTAL solve wall-clock (3.65 vs
+            # 4.14 s uncapped at 1M DOF) at the SAME 5 Newton steps —
+            # chosen on total time, not on the s/step denominator (larger
+            # caps lower s/step only by adding Newton steps while total
+            # time worsens; bench/forcing_sweep.py table in BENCH_NOTES).
+            ew_eta_min=float(os.environ.get("FEA_BENCH_ETA_MIN", 1e-2)),
             newton_rtol=1e-6,
             pcg_tol=1e-6 if precision == "mixed" else 1e-8,
             pcg_maxiter=2000,

@@ -591,7 +591,7 @@ class ShardedNewtonSolver:
                 )
             eta, lin_tol = device_forcing(
                 norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, floor,
-                stop_newton,
+                stop_newton, opts.ew_eta_min,
             )
             tol_eff = jnp.where(norm <= stop_newton, 1e30, lin_tol)
             # x0=None: r0 = b exactly — an explicit zeros x0 paid a full

@@ -23,6 +23,7 @@ Schema (JSON):
              "newton_rtol": 1e-10, "newton_atol": 1e-12, "max_newton": 30,
              "pcg_tol": 1e-12, "pcg_maxiter": 5000, "max_bisections": 5,
              "precision": "f64"|"mixed", "preconditioner": ...,
+             "forcing": "fixed"|"ew", "ew_eta_min": 0.0,  # EW lower cap
              "pallas": false},                       # Pallas element kernels
                                                      # (mixed precision only)
   "partition": {"n_shards": 1},
@@ -164,6 +165,7 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         agg_size=sv.get("agg_size"),
         coarse_modes=int(sv.get("coarse_modes", 3)),
         forcing=sv.get("forcing", "fixed"),
+        ew_eta_min=float(sv.get("ew_eta_min", 0.0)),
         pallas=bool(sv.get("pallas", False)),
         device_loop=bool(sv.get("device_loop", True)),
         device_loop_budget=sv.get("device_loop_budget"),

@@ -95,6 +95,13 @@ class SolverOptions:
     #: the root), late ones tightly; cuts total PCG work ~2-3x per solve
     #: without changing the converged solution (inexact-Newton theory).
     forcing: str = "fixed"
+    #: lower cap on the EW forcing eta: local quadratic Newton convergence
+    #: tolerates eta up to ~0.1 with little iteration inflation, so solving
+    #: a MIDDLE Newton system tighter than this floor wastes CG iterations
+    #: Newton's own contraction would recover for free (same waste class
+    #: the termination safeguard removes for the LAST system). 0.0 =
+    #: uncapped (the raw EW choice-2 schedule). "ew" only.
+    ew_eta_min: float = 0.0
     #: run the f32 element hot ops (freeze + per-iteration tangent action)
     #: as Pallas TPU kernels (ops/pallas_kernels.py; BASELINE.json:5
     #: "batched dense Pallas kernels over element blocks") instead of the
@@ -321,7 +328,7 @@ def _mixed_chunk_fn(pcg_state, soa, state, inv_blocks, free32, coarse, n_iters,
 
 
 def device_forcing(norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew,
-                   floor, stop_newton):
+                   floor, stop_newton, eta_min=0.0):
     """Eisenstat-Walker choice-2 forcing + mixed-precision floor — the
     DEVICE mirror of `newton_lin_tol` (identical f64 arithmetic ->
     identical values; the device/host trajectory-pinning tests depend on
@@ -336,12 +343,15 @@ def device_forcing(norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew,
     Newton solve still needs — without it the final linear solve of every
     increment oversolves by the gap between eta and stop/||R|| (measured
     round 3: the last step burned 25 of 91 total CG iterations to land
-    6.2x BELOW the convergence contract). Returns (eta, lin_tol), f64."""
+    6.2x BELOW the convergence contract). `eta_min` is the optional EW
+    lower cap (`SolverOptions.ew_eta_min`; 0.0 = uncapped — exact
+    pre-cap arithmetic). Returns (eta, lin_tol), f64."""
     if use_ew:
         cand = 0.9 * (norm / jnp.maximum(prev_norm, 1e-300)) ** 2
         safe = 0.9 * eta_prev**2
         eta = jnp.where(safe > 0.1, jnp.maximum(cand, safe), cand)
         eta = jnp.where(first_it, 0.5, eta)
+        eta = jnp.maximum(eta, eta_min)
         eta = jnp.maximum(
             eta, 0.5 * stop_newton / jnp.maximum(norm, 1e-300)
         )
@@ -373,8 +383,10 @@ def newton_lin_tol(opts, it, norms, norm0, eta):
             cand = 0.9 * (norms[-1] / norms[-2]) ** 2
             safe = 0.9 * eta**2
             eta = max(cand, safe) if safe > 0.1 else cand
+        # optional EW lower cap (see SolverOptions.ew_eta_min), then the
         # termination safeguard — mirror of `device_forcing`: never solve
         # tighter than half the reduction the Newton stop still requires
+        eta = max(eta, opts.ew_eta_min)
         stop_n = max(opts.newton_rtol * norm0, opts.newton_atol)
         eta = max(eta, 0.5 * stop_n / max(norms[-1], 1e-300))
         eta = min(max(eta, opts.pcg_tol), 0.5)
@@ -394,7 +406,7 @@ def _mixed_update_fn(u, x):
 
 def _mixed_newton_iter_fn(
     u, x_prev, scale, prev_norm, eta_prev, first_it, stop_newton, pcg_tol,
-    soa64, soa, material, material32, bc, f_ext, coarse,
+    eta_min, soa64, soa, material, material32, bc, f_ext, coarse,
     *, chunk_iters, use_pallas, use_ew, resid32,
 ):
     """ONE fused device program per mixed-precision Newton iteration
@@ -438,7 +450,7 @@ def _mixed_newton_iter_fn(
         b = b64.astype(jnp.float32)
     eta, lin_tol = device_forcing(
         norm, prev_norm, eta_prev, first_it, pcg_tol, use_ew, 1.2e-6,
-        stop_newton,
+        stop_newton, eta_min,
     )
     diag = jnp.transpose(soa_diag_blocks(soa, state), (2, 0, 1))
     inv_blocks = jacobi_inverse_blocks(diag, free32)
@@ -451,8 +463,8 @@ def _mixed_newton_iter_fn(
 
 
 def _mixed_solve_fn(
-    u0, scale, stop_rtol, stop_atol, pcg_tol, pcg_maxiter, cg_budget,
-    soa64, soa, material, material32, bc, f_ext, coarse,
+    u0, scale, stop_rtol, stop_atol, pcg_tol, eta_min, pcg_maxiter,
+    cg_budget, soa64, soa, material, material32, bc, f_ext, coarse,
     *, max_newton, use_pallas, use_ew,
 ):
     """DEVICE-RESIDENT mixed-precision Newton solve of one load increment:
@@ -520,7 +532,8 @@ def _mixed_solve_fn(
         bad = ~jnp.isfinite(norm)
         conv = (norm <= stop_n) & ~bad
         eta_n, lin_tol = device_forcing(
-            norm, prev_norm, eta, it == 0, pcg_tol, use_ew, 1.2e-6, stop_n
+            norm, prev_norm, eta, it == 0, pcg_tol, use_ew, 1.2e-6, stop_n,
+            eta_min,
         )
         skip = conv | bad
         # converged/NaN: inflate the stop target so CG exits at 0
@@ -804,6 +817,7 @@ class NewtonSolver:
             out = _mixed_solve_jit(
                 u, scale, jnp.asarray(opts.newton_rtol, jnp.float64),
                 jnp.asarray(opts.newton_atol, jnp.float64), self._pcg_tol32,
+                jnp.asarray(opts.ew_eta_min, jnp.float64),
                 jnp.asarray(opts.pcg_maxiter, jnp.int32),
                 jnp.asarray(budget, jnp.int32),
                 self._soa64, self._soa, self.material, self._material32,
@@ -865,6 +879,7 @@ class NewtonSolver:
                     u, x_prev, scale, jnp.asarray(prev_norm, jnp.float64),
                     jnp.asarray(eta, jnp.float64),
                     jnp.asarray(norm0 is None), stop_dev, self._pcg_tol32,
+                    jnp.asarray(opts.ew_eta_min, jnp.float64),
                     self._soa64, self._soa, self.material, self._material32,
                     self.bc, self.f_ext, self._coarse,
                     chunk_iters=min(opts.pcg_chunk, opts.pcg_maxiter),

@@ -468,12 +468,16 @@ def test_device_forcing_mirrors_host_newton_lin_tol():
     from fea_large_tpu.solvers.newton import device_forcing, newton_lin_tol
 
     norms = [1.0, 0.31, 4.1e-2, 8.3e-4, 2.7e-6, 9.9e-9]
-    for forcing in ("ew", "fixed"):
-        opts = SolverOptions(forcing=forcing, precision="mixed", pcg_tol=1e-6)
+    for forcing, eta_min in (("ew", 0.0), ("ew", 1e-2), ("fixed", 0.0)):
+        opts = SolverOptions(
+            forcing=forcing, precision="mixed", pcg_tol=1e-6,
+            ew_eta_min=eta_min,
+        )
         stop_n = max(opts.newton_rtol * norms[0], opts.newton_atol)
         eta_h = 0.5
         eta_d = jnp.full((), 0.5, jnp.float64)
         saw_safeguard = False
+        saw_eta_min = False
         for it in range(1, len(norms)):
             hist = norms[: it + 1]
             tol_h, eta_h = newton_lin_tol(opts, it, hist, norms[0], eta_h)
@@ -486,6 +490,7 @@ def test_device_forcing_mirrors_host_newton_lin_tol():
                 forcing == "ew",
                 1.2e-6,
                 jnp.asarray(stop_n, jnp.float64),
+                jnp.asarray(eta_min, jnp.float64),
             )
             assert float(tol_d) == tol_h, (forcing, it, float(tol_d), tol_h)
             assert float(eta_d) == eta_h, (forcing, it, float(eta_d), eta_h)
@@ -497,5 +502,14 @@ def test_device_forcing_mirrors_host_newton_lin_tol():
                 saw_safeguard = float(eta_d) == min(
                     0.5, max(0.5 * stop_n / hist[-1], opts.pcg_tol)
                 )
-        if forcing == "ew":
+            # fast contraction (0.31 -> 4.1e-2) drives the raw EW eta to
+            # 0.9*(0.041/0.31)^2 ~ 1.6e-2... then 8.3e-4/4.1e-2 -> 3.7e-4,
+            # far below the 1e-2 cap: the cap must bind mid-history
+            if eta_min > 0.0 and float(eta_d) == eta_min:
+                saw_eta_min = True
+        if forcing == "ew" and eta_min == 0.0:
+            # (with the 1e-2 cap the safeguard value 0.5*stop/||R|| ~ 5e-3
+            # sits BELOW the cap and can never bind on this history)
             assert saw_safeguard
+        if eta_min > 0.0:
+            assert saw_eta_min
