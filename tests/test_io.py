@@ -30,7 +30,11 @@ def test_load_task_json(tmp_path):
                         {"set": "zmax", "components": "z", "value": 0.1},
                     ],
                 },
-                "solver": {"linear": "direct"},
+                "solver": {
+                    "linear": "direct",
+                    "forcing": "ew",
+                    "ew_eta_min": 0.01,
+                },
             }
         )
     )
@@ -38,6 +42,8 @@ def test_load_task_json(tmp_path):
     assert task.mesh.n_elements == 40
     assert float(task.material.lam) == 1.5
     assert task.solver.n_steps == 2
+    assert task.solver.forcing == "ew"
+    assert task.solver.ew_eta_min == 0.01
     bc = task.build_bc()
     assert bc.n_fixed > 0
 
