@@ -86,6 +86,23 @@ def main():
     precond = os.environ.get("FEA_BENCH_PRECOND", "two_level")
     if precision != "mixed":
         precond = "jacobi"
+    if os.environ.get("FEA_BENCH_AGG"):
+        agg_size = int(os.environ["FEA_BENCH_AGG"])
+    elif 500_000 <= target_dof <= 2_000_000 and precond == "two_level":
+        # (bounded range: agg 100 at e.g. 4M DOF would give a dim-55k
+        # dense inverse — far past any feasible build; larger sizes keep
+        # the sqrt(N)-scaled default policy)
+        # headline-scale coarse: agg 100 -> Nc 3375 (dim 20250) measured
+        # 0.675 vs 0.732 s/step against the default ~2.5k policy at 1M DOF
+        # (64 vs 73 CG iters; BENCH_NOTES round 3). That dim exceeds the
+        # v5e ON-DEVICE inverse-build boundary (~16.5k), so take the host
+        # LAPACK build directly instead of paying the doomed device
+        # attempt first (multilevel._host_invert_coarse; ~6 min on this
+        # single-core host, setup-time only).
+        agg_size = 100
+        os.environ.setdefault("FEA_COARSE_INVERT", "host")
+    else:
+        agg_size = None
     solver = NewtonSolver(
         mesh,
         mat,
@@ -94,11 +111,7 @@ def main():
             linear="pcg",
             precision=precision,
             preconditioner=precond,
-            agg_size=(
-                int(os.environ["FEA_BENCH_AGG"])
-                if os.environ.get("FEA_BENCH_AGG")
-                else None
-            ),
+            agg_size=agg_size,
             coarse_modes=int(os.environ.get("FEA_BENCH_COARSE_MODES", 6)),
             pallas=bool(int(os.environ.get("FEA_BENCH_PALLAS", "0"))),
             forcing="ew" if mode == "newton" else "fixed",

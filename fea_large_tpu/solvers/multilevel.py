@@ -619,17 +619,38 @@ def build_coarse_space(
     # a tiny ridge so f32 Cholesky stays robust). The probing path keeps Ac
     # on device end-to-end (ridge + factor in one jitted program — no
     # [nc, nc] host buffer or tunnel transfer); host paths ridge in numpy.
+    # If the on-device inverse build exhausts HBM (the v5e feasibility
+    # boundary sits just above coarse dim ~16.5k — BENCH_NOTES round 3),
+    # fall back to a host LAPACK build instead of crashing: the same Gram
+    # form at setup time, one tunnel round trip of the [nc, nc] matrix.
+    # FEA_COARSE_INVERT=host forces the fallback (bench/regression use).
+    import os
+
+    force_host = os.environ.get("FEA_COARSE_INVERT") == "host"
     if isinstance(Ac, jnp.ndarray):
-        acinv = jax.jit(
-            lambda a: _invert_factor(_ridge_and_factor(a))
-        )(Ac.astype(dtype))
+        if force_host:
+            acinv = _host_invert_coarse(np.asarray(Ac), dtype)
+        else:
+            try:
+                acinv = jax.block_until_ready(
+                    jax.jit(lambda a: _invert_factor(_ridge_and_factor(a)))(
+                        Ac.astype(dtype)
+                    )
+                )
+            except Exception as e:  # XlaRuntimeError has no stable import
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                acinv = _host_invert_coarse(np.asarray(Ac), dtype)
     else:
-        d = np.diagonal(Ac)
-        fix = (d <= 0.0).astype(Ac.dtype)
-        Ac = Ac + np.diag(fix + 1e-8 * max(d.max(), 1.0))
-        acinv = jax.jit(
-            lambda a: _invert_factor(jsl.cho_factor(a, lower=True)[0])
-        )(jnp.asarray(Ac, dtype))
+        if force_host:
+            acinv = _host_invert_coarse(np.asarray(Ac), dtype)
+        else:
+            d = np.diagonal(Ac)
+            fix = (d <= 0.0).astype(Ac.dtype)
+            Ac = Ac + np.diag(fix + 1e-8 * max(d.max(), 1.0))
+            acinv = jax.jit(
+                lambda a: _invert_factor(jsl.cho_factor(a, lower=True)[0])
+            )(jnp.asarray(Ac, dtype))
     return CoarseSpace(
         agg=jnp.asarray(agg, INDEX_DTYPE),
         perm=jnp.asarray(perm, INDEX_DTYPE),
@@ -641,6 +662,42 @@ def build_coarse_space(
         n_agg=n_agg,
         modes=modes,
     )
+
+
+def _host_invert_coarse(Ac_np, dtype):
+    """Host/device split mirror of ridge + Cholesky + `_invert_factor`:
+    the setup fallback for coarse dimensions whose fully-on-device
+    explicit-inverse build exceeds HBM (that build needs factor +
+    identity column blocks + Gram result simultaneously; the v5e
+    boundary is just above dim 16.5k). Same ridge, same symmetric Gram
+    form (L^-T)(L^-1).
+
+    Split by what each side is good at on this machine (single host
+    core): LAPACK potrf + trtri on host (n^3/3 triangular inverse — the
+    identity-solve form costs 3x that), then the n^3 Gram matmul ON
+    DEVICE, where it is seconds and peaks at only ~3 [nc, nc] buffers
+    (vs ~6+temps for the fused build). Compute dtype follows `dtype`
+    (the preconditioner tolerates f32 — CoarseSpace.coarse_solve)."""
+    import scipy.linalg as sla
+    from scipy.linalg import lapack
+
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    A = np.asarray(Ac_np, np_dtype)
+    d = np.diagonal(A)
+    fix = (d <= 0.0).astype(A.dtype)
+    A = A + np.diag(fix + np_dtype(1e-8) * max(float(d.max()), 1.0))
+    L = sla.cholesky(A, lower=True)
+    del A
+    trtri = lapack.dtrtri if np_dtype == np.float64 else lapack.strtri
+    linv, info = trtri(L, lower=1, overwrite_c=1)
+    if info != 0:  # singular/ill-conditioned: the slow-but-robust form
+        linv = sla.solve_triangular(
+            L, np.eye(L.shape[0], dtype=np_dtype), lower=True
+        )
+    del L
+    return jax.jit(
+        lambda m: jnp.matmul(m.T, m, precision=jax.lax.Precision.HIGHEST)
+    )(jnp.asarray(linv, dtype))
 
 
 def _coarse_entry_chunks(mesh, lam, mu, agg, free_mask, chunk=65536):

@@ -377,3 +377,31 @@ def test_modes12_solves_and_needs_no_more_iterations_than_rbm():
     scale = np.abs(u_6).max()
     np.testing.assert_allclose(u_12, u_6, rtol=0, atol=2e-7 * scale)
     assert it_12 <= it_6, (it_12, it_6)
+
+
+def test_host_invert_fallback_matches_device(monkeypatch):
+    """`_host_invert_coarse` (the setup fallback when the on-device
+    explicit-inverse build exhausts HBM — BENCH_NOTES round 3) must
+    produce the same coarse correction as the device build: same ridge,
+    same symmetric Gram form, f32 LAPACK vs f32 XLA."""
+    from fea_large_tpu.ops.soa import SoAProblem
+
+    mesh = box_mesh(3, 3, 3, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()
+    soa = SoAProblem.build(mesh, jnp.float32)
+    dev = build_coarse_space(mesh, mat, bc, agg_size=16, modes=6, soa=soa)
+    monkeypatch.setenv("FEA_COARSE_INVERT", "host")
+    host = build_coarse_space(mesh, mat, bc, agg_size=16, modes=6, soa=soa)
+    # both are f32 inverses of the same mildly-conditioned SPD matrix:
+    # entrywise agreement to f32 rounding x a small conditioning factor
+    a, b = np.asarray(dev.acinv), np.asarray(host.acinv)
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 5e-5 * scale
+    # and the applied correction agrees on a vector
+    r = jnp.asarray(
+        np.random.default_rng(0).standard_normal((mesh.n_nodes, 3)),
+        jnp.float32,
+    )
+    ya, yb = np.asarray(dev.apply(r)), np.asarray(host.apply(r))
+    assert np.abs(ya - yb).max() < 1e-4 * max(np.abs(ya).max(), 1e-30)
