@@ -17,7 +17,14 @@ Schema (JSON):
   "loading": {
      "n_steps": 3,
      "dirichlet": [{"set": "zmin", "components": "xyz", "value": 0.0}, ...],
-     "forces":    [{"set": "xmax", "vector": [0, 0, -1.0]}, ...]
+     "forces":    [{"set": "xmax", "vector": [0, 0, -1.0]}, ...],
+     "tractions": [{"set": "zmax", "vector": [0, 0, -0.1]}, ...],
+                                  # dead surface traction, force / unit
+                                  # reference area over the boundary faces
+                                  # of the set (mesh/surface.py)
+     "pressures": [{"set": "zmax", "value": 0.1}, ...]
+                                  # dead normal pressure (positive = pushes
+                                  # against the reference surface)
   },
   "solver": {"linear": "direct"|"pcg"|"pcg_bcsr",
              "newton_rtol": 1e-10, "newton_atol": 1e-12, "max_newton": 30,
@@ -57,10 +64,18 @@ class ForceSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class PressureSpec:
+    set: str
+    value: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class LoadingSpec:
     n_steps: int = 1
     dirichlet: tuple = ()
     forces: tuple = ()
+    tractions: tuple = ()
+    pressures: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,11 +113,37 @@ class Task:
         return b.build()
 
     def build_forces(self):
-        if not self.loading.forces:
+        ld = self.loading
+        if not (ld.forces or ld.tractions or ld.pressures):
             return None
-        return nodal_forces(
-            self.mesh, {f.set: list(f.vector) for f in self.loading.forces}
-        )
+        f = None
+        if ld.forces:
+            f = nodal_forces(
+                self.mesh, {s.set: list(s.vector) for s in ld.forces}
+            )
+        if ld.tractions or ld.pressures:
+            from fea_large_tpu.mesh.surface import (
+                boundary_faces,
+                pressure_forces,
+                traction_forces,
+            )
+
+            faces = boundary_faces(self.mesh)
+            if ld.tractions:
+                ft = traction_forces(
+                    self.mesh,
+                    {s.set: list(s.vector) for s in ld.tractions},
+                    faces=faces,
+                )
+                f = ft if f is None else f + ft
+            if ld.pressures:
+                fp = pressure_forces(
+                    self.mesh,
+                    {s.set: s.value for s in ld.pressures},
+                    faces=faces,
+                )
+                f = fp if f is None else f + fp
+        return f
 
 
 def _build_mesh(spec: dict, element_type: str, base: pathlib.Path) -> Mesh:
@@ -147,6 +188,14 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         forces=tuple(
             ForceSpec(set=f["set"], vector=tuple(f["vector"]))
             for f in ld.get("forces", ())
+        ),
+        tractions=tuple(
+            ForceSpec(set=f["set"], vector=tuple(f["vector"]))
+            for f in ld.get("tractions", ())
+        ),
+        pressures=tuple(
+            PressureSpec(set=p["set"], value=float(p["value"]))
+            for p in ld.get("pressures", ())
         ),
     )
     sv = data.get("solver", {})
