@@ -463,7 +463,10 @@ class ShardedNewtonSolver:
         def residual_body(d, soa, u_own, scale):
             d, soa = _sq(d), _sq(soa)
             r = _residual64(d, soa, u_own[0], scale[()])
-            return jnp.sqrt(pdot(r, r))
+            # clamp: TPU emulated dot reductions can round a self-dot to a
+            # tiny NEGATIVE near zero (solvers/linear.pcg_init) — sqrt of
+            # that is NaN and poisons the EW forcing scalars
+            return jnp.sqrt(jnp.maximum(pdot(r, r), 0.0))
 
         def impose_body(d, u_own, scale):
             d = _sq(d)
@@ -581,7 +584,8 @@ class ShardedNewtonSolver:
             x_prev = x_prev[0]
             u_own = u_own + x_prev.astype(u_own.dtype)
             r64 = _residual64(d, soa, u_own, scale)
-            norm = jnp.sqrt(pdot(r64, r64))
+            # clamped self-dot: see residual_body / solvers/linear.pcg_init
+            norm = jnp.sqrt(jnp.maximum(pdot(r64, r64), 0.0))
             norm0 = jnp.where(first_it, norm, norm0_prev)
             if pdt == jnp.float32:
                 floor = jnp.full((), 1.2e-6, jnp.float64)

@@ -106,7 +106,13 @@ def pcg_init(matvec, b, preconditioner=None, x0=None, tol=1e-10, atol=0.0, dot=N
         preconditioner = lambda r: r  # noqa: E731
     if dot is None:
         dot = lambda a, c: jnp.vdot(a, c)  # noqa: E731
-    b_norm = jnp.sqrt(dot(b, b))
+    # Self-dots are mathematically non-negative, but TPU's emulated f64/f32
+    # dot reductions can round them to TINY NEGATIVES near the recurrence
+    # floor (measured: vdot(r, r) = -6.2e-33 at true rel ~5e-12 on v5e),
+    # after which sqrt(rr) is NaN, the while_loop cond goes permanently
+    # False, and the solve reports a poisoned rel. Clamping to 0 is exact:
+    # a clamped value only ever replaces sign-noise around zero.
+    b_norm = jnp.sqrt(jnp.maximum(dot(b, b), 0.0))
     stop = jnp.maximum(tol * b_norm, atol)
     if x0 is None:
         # from-zero start: r0 = b exactly — skip the matvec of zeros
@@ -117,7 +123,9 @@ def pcg_init(matvec, b, preconditioner=None, x0=None, tol=1e-10, atol=0.0, dot=N
         r0 = b - matvec(x0)
     z0 = preconditioner(r0)
     return PCGState(
-        x=x0, r=r0, z=z0, p=z0, rz=dot(r0, z0), rr=dot(r0, r0),
+        x=x0, r=r0, z=z0, p=z0,
+        rz=jnp.maximum(dot(r0, z0), 0.0),
+        rr=jnp.maximum(dot(r0, r0), 0.0),
         k=jnp.int32(0), ok=jnp.bool_(True), stop=stop,
     )
 
@@ -152,8 +160,11 @@ def pcg_chunk(matvec, state: PCGState, preconditioner=None, dot=None,
         x = s.x + alpha * s.p
         r = s.r - alpha * q
         z = preconditioner(r)
-        rz_new = dot(r, z)
-        rr_new = dot(r, r)
+        # clamp the non-negative-by-math dots: see pcg_init (TPU emulated
+        # dots can produce sign-noise negatives at the recurrence floor,
+        # and sqrt(negative) freezes the cond with a NaN)
+        rz_new = jnp.maximum(dot(r, z), 0.0)
+        rr_new = jnp.maximum(dot(r, r), 0.0)
         beta = jnp.where(s.rz != 0.0, rz_new / s.rz, 0.0).astype(s.p.dtype)
         p = z + beta * s.p
         return PCGState(x, r, z, p, rz_new, rr_new, s.k + 1, ok, s.stop)

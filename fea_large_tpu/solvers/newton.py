@@ -553,7 +553,8 @@ def _mixed_solve_fn(
         iter_cap = jnp.minimum(pcg_maxiter, cg_budget - total_cg)
         st = pcg_chunk(matvec, st, preconditioner=precond, maxiter=iter_cap)
         total_cg = total_cg + st.k
-        bnorm = jnp.sqrt(jnp.vdot(b, b))
+        # clamped self-dot: see solvers/linear.pcg_init (TPU sign-noise)
+        bnorm = jnp.sqrt(jnp.maximum(jnp.vdot(b, b), 0.0))
         rel = (jnp.sqrt(st.rr) / jnp.maximum(bnorm, 1e-30)).astype(jnp.float64)
         lin_ok = st.ok & (jnp.sqrt(st.rr) <= st.stop)
         # ran out of the per-call budget before reaching lin_tol (NOT a
@@ -963,6 +964,7 @@ class NewtonSolver:
         norms, pcg_iters = [], []
         norm0 = None
         eta = 0.5  # Eisenstat-Walker initial forcing
+        lin_failed = False
         for it in range(opts.max_newton):
             r64, norm = self._residual(u, scale)
             norm = float(norm)
@@ -977,6 +979,14 @@ class NewtonSolver:
                     float(scale), it, norms, pcg_iters, time.perf_counter() - t0
                 )
                 return u, True, rec
+            # The previous linear solve self-reported failure — but the
+            # Newton residual is the real arbiter: if that direction still
+            # halved |R| (typical when PCG merely hit its rounding floor
+            # short of an over-tight requested tolerance), keep iterating;
+            # abort only when a flagged direction also made no real
+            # progress (genuinely indefinite tangent -> bisection, §7.3).
+            if lin_failed and norm > 0.5 * norms[-2]:
+                break
             lin_tol = None
             if opts.linear != "direct":
                 lin_tol, eta = newton_lin_tol(opts, it, norms, norm0, eta)
@@ -988,11 +998,11 @@ class NewtonSolver:
             # requested tolerance (rounding-level breakdown when tol*||b||
             # sits below achievable precision, or maxiter) still yields a
             # usable direction if it reduced the linear residual
-            # substantially. An early breakdown at rel ~ O(1) signals a
-            # genuinely indefinite tangent: abort the increment
-            # (-> load-step bisection, SURVEY.md §7.3).
-            if not (bool(lin_ok) or float(lin_rel) <= 1e-3):
-                break
+            # substantially (checked here), or if the next Newton residual
+            # shows real progress (checked above). `lin_rel` is NaN-safe
+            # False on comparison, so a poisoned recurrence is never
+            # accepted on its own say-so.
+            lin_failed = not (bool(lin_ok) or float(lin_rel) <= 1e-3)
         rec = IncrementRecord(
             float(scale), len(norms), norms, pcg_iters, time.perf_counter() - t0
         )

@@ -330,6 +330,58 @@ def test_pcg_chunk_reports_nonfinite_rr_as_breakdown():
     assert int(out.k) == 3  # no iterations were run on the poisoned state
 
 
+def test_pcg_negative_selfdot_clamped(rng):
+    """TPU's emulated dot reductions can round a self-dot to a TINY
+    NEGATIVE near the recurrence floor (measured vdot(r,r) = -6.2e-33 on
+    v5e at true rel ~5e-12), after which sqrt(rr) is NaN, the while_loop
+    cond goes permanently False, and the solve reports a poisoned rel with
+    ok=True (round-3 finding: the f64 pressure task FAILED on TPU while
+    converging on CPU). Simulate that dot here: clamped rr/rz must keep
+    the recurrence finite and report convergence once the floor noise
+    drops below the stop target."""
+    A, b = _random_spd_block_system(rng)
+    n_nodes = b.shape[0] // 3
+    mv = lambda v: (A @ v.reshape(-1)).reshape(n_nodes, 3)  # noqa: E731
+    noise = 1e-20  # sign-noise scale sitting ABOVE the requested stop^2
+
+    def noisy_dot(a, c):
+        return jnp.vdot(a, c) - noise
+
+    res = pcg(mv, b.reshape(n_nodes, 3), tol=1e-14, maxiter=2000,
+              dot=noisy_dot)
+    assert bool(jnp.isfinite(res.residual_norm))
+    assert bool(res.converged)  # clamped floor noise => exact-zero rr
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(res.x.reshape(-1), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_newton_accepts_flagged_direction_on_progress():
+    """A linear solve that self-reports failure (recurrence floor short of
+    an over-tight tolerance) but still yields a residual-halving direction
+    must NOT abort the increment: the Newton residual is the arbiter
+    (round-3 TPU pressure-task finding). Force the failure report by
+    giving PCG a tolerance below f64's attainable floor with a maxiter
+    that strands it mid-solve."""
+    mesh = box_mesh(2, 2, 2, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.2), jnp.asarray(0.8))
+    bc = (
+        DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.1).build()
+    )
+    solver = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", newton_rtol=1e-9, pcg_tol=1e-30, pcg_maxiter=400,
+        ),
+    )
+    res = solver.solve()
+    # every linear solve "fails" (tol 1e-30 is unreachable), yet each
+    # direction is near-exact: Newton must converge anyway
+    assert res.converged
+    assert res.history[-1].residual_norms[-1] <= 1e-9 * max(
+        res.history[-1].residual_norms[0], 1e-300
+    )
+
+
 def _device_loop_problem():
     mesh = box_mesh(4, 4, 4, element_type="tet10")
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
