@@ -134,6 +134,10 @@ def _cmd_run(args) -> int:
     )
     if task.output.npz:
         export_npz(out_dir / f"{task.name}_final.npz", u, len(records))
+    if task.output.msh:
+        from fea_large_tpu.io.export import export_msh
+
+        export_msh(out_dir / f"{task.name}_deformed.msh", mesh, u)
     if task.output.vtk:
         from fea_large_tpu.postprocess import nodal_stress
 

@@ -57,6 +57,40 @@ def export_vtk(path, mesh: Mesh, u=None, point_data: dict | None = None) -> None
     path.write_text("\n".join(lines) + "\n")
 
 
+def export_msh(path, mesh: Mesh, u=None, deformed: bool = True) -> None:
+    """Write a Gmsh v2.2 ASCII `.msh` of the (optionally deformed) mesh —
+    the reference's native deformed-mesh output format (SURVEY.md C16 [R]).
+
+    Delegates the $Nodes/$Elements sections to `io.meshio.save_mesh_file`
+    (which owns the canonical->Gmsh TET10 edge permutation, survey
+    ambiguity A4), writing displaced positions when `u` is given (the
+    reference's deformed-export convention; deformed=False keeps reference
+    coordinates) plus a $NodeData view named "displacement" so downstream
+    tools keep the field. Round-trips through `load_gmsh`."""
+    import dataclasses
+
+    from fea_large_tpu.io.meshio import save_mesh_file
+
+    path = pathlib.Path(path)
+    u_np = None if u is None else np.asarray(u, float)
+    out_mesh = mesh
+    if u_np is not None and deformed:
+        out_mesh = dataclasses.replace(mesh, coords=mesh.coords + u_np)
+    save_mesh_file(path, out_mesh)
+    if u_np is not None:
+        lines = [
+            "$NodeData", "1", '"displacement"', "1", "0.0", "3", "0", "3",
+            str(u_np.shape[0]),
+        ]
+        lines += [
+            f"{i + 1} " + " ".join(f"{x:.17g}" for x in row)
+            for i, row in enumerate(u_np)
+        ]
+        lines.append("$EndNodeData")
+        with path.open("a") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+
 def export_npz(path, u, load_step: int, history=None, **extra) -> None:
     """Per-load-step displacement dump / checkpoint (SURVEY.md §7.4).
 

@@ -83,6 +83,7 @@ class OutputSpec:
     dir: str = "out"
     vtk: bool = True
     npz: bool = True
+    msh: bool = False  # deformed-mesh Gmsh export (the reference's format)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,6 +225,7 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         dir=out.get("dir", "out"),
         vtk=bool(out.get("vtk", True)),
         npz=bool(out.get("npz", True)),
+        msh=bool(out.get("msh", False)),
     )
     part = data.get("partition", {})
     partition = PartitionSpec(

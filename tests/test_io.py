@@ -9,7 +9,12 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from fea_large_tpu.io.export import export_npz, export_vtk, load_checkpoint
+from fea_large_tpu.io.export import (
+    export_msh,
+    export_npz,
+    export_vtk,
+    load_checkpoint,
+)
 from fea_large_tpu.io.meshio import load_gmsh, save_mesh_file
 from fea_large_tpu.io.task import load_task
 from fea_large_tpu.mesh.generators import box_mesh
@@ -89,6 +94,33 @@ def test_vtk_export(tmp_path):
     assert "UNSTRUCTURED_GRID" in text
     assert f"POINTS {mesh.n_nodes} double" in text
     assert "VECTORS displacement double" in text
+
+
+@pytest.mark.parametrize("element_type", ["tet4", "tet10"])
+def test_msh_deformed_export_roundtrip(tmp_path, element_type):
+    """export_msh (the reference's deformed-mesh format, C16 [R]) must
+    round-trip through load_gmsh with DISPLACED node positions, identical
+    connectivity (incl. the canonical<->Gmsh TET10 edge permutation), and
+    carry the displacement $NodeData view."""
+    mesh = box_mesh(2, 1, 1, element_type=element_type)
+    u = np.zeros((mesh.n_nodes, 3))
+    u[:, 2] = 0.1 * np.asarray(mesh.coords)[:, 0]
+    path = tmp_path / "deformed.msh"
+    export_msh(path, mesh, jnp.asarray(u))
+    mesh2 = load_gmsh(path)
+    np.testing.assert_allclose(
+        np.asarray(mesh2.coords), np.asarray(mesh.coords) + u, atol=1e-15
+    )
+    np.testing.assert_array_equal(np.asarray(mesh2.conn), np.asarray(mesh.conn))
+    text = path.read_text()
+    assert '"displacement"' in text and "$NodeData" in text
+    # undeformed variant keeps reference coordinates
+    path2 = tmp_path / "ref.msh"
+    export_msh(path2, mesh, jnp.asarray(u), deformed=False)
+    mesh3 = load_gmsh(path2)
+    np.testing.assert_allclose(
+        np.asarray(mesh3.coords), np.asarray(mesh.coords), atol=1e-15
+    )
 
 
 def test_checkpoint_roundtrip(tmp_path):
