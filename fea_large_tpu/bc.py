@@ -101,6 +101,37 @@ class DirichletBuilder:
         )
 
 
+def body_forces(mesh: Mesh, vector) -> jnp.ndarray:
+    """Consistent nodal forces f64[N, 3] for a DEAD body force b (force per
+    unit REFERENCE volume — e.g. rho0 * g for self-weight):
+
+        f[a] = sum_e sum_q w_q det(J_iso)_q N_a(xi_q) b
+
+    Total-Lagrangian dead-load form: integrated over the undeformed
+    configuration once at setup and scaled by the load factor during
+    incremental stepping — the same constant-`f_ext` contract as
+    `nodal_forces` and the surface loads (mesh/surface.py), so the
+    external-load potential stays linear in u (no load stiffness).
+    Host-side numpy: a cold setup path (SURVEY.md §4.5). Exactness: the
+    integrand N_a det(J_iso) is degree-(p) on straight-edged tets, within
+    both shipped quadrature rules' degree (TET4 1-pt/linear, TET10
+    4-pt/degree-2)."""
+    from fea_large_tpu.elements.reference import get_element
+
+    et = get_element(mesh.element_type, mesh.n_quad)
+    coords = np.asarray(mesh.coords_host, float)
+    conn = np.asarray(mesh.conn_host)
+    Xe = coords[conn]  # [E, npe, 3]
+    J = np.einsum("eai,qad->eqid", Xe, et.shape_grad)  # [E, q, 3, 3]
+    wdet = np.linalg.det(J) * et.quad_weights[None, :]  # [E, q]
+    fa = np.einsum("eq,qa->ea", wdet, et.shape)[..., None] * np.asarray(
+        vector, float
+    )  # [E, npe, 3]
+    f = np.zeros((mesh.n_nodes, 3))
+    np.add.at(f, conn.reshape(-1), fa.reshape(-1, 3))
+    return jnp.asarray(f, DTYPE)
+
+
 def nodal_forces(mesh: Mesh, specs: dict) -> jnp.ndarray:
     """Build a total external nodal-force array f64[N, 3] from
     {node_set_name: force_vector} specs; the force vector is applied to EACH

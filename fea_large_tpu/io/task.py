@@ -22,9 +22,12 @@ Schema (JSON):
                                   # dead surface traction, force / unit
                                   # reference area over the boundary faces
                                   # of the set (mesh/surface.py)
-     "pressures": [{"set": "zmax", "value": 0.1}, ...]
+     "pressures": [{"set": "zmax", "value": 0.1}, ...],
                                   # dead normal pressure (positive = pushes
                                   # against the reference surface)
+     "body_force": [0, 0, -9.81]  # dead body force per unit REFERENCE
+                                  # volume (e.g. rho0*g), consistently
+                                  # integrated (bc.body_forces)
   },
   "solver": {"linear": "direct"|"pcg"|"pcg_bcsr",
              "newton_rtol": 1e-10, "newton_atol": 1e-12, "max_newton": 30,
@@ -76,6 +79,7 @@ class LoadingSpec:
     forces: tuple = ()
     tractions: tuple = ()
     pressures: tuple = ()
+    body_force: tuple | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,13 +119,20 @@ class Task:
 
     def build_forces(self):
         ld = self.loading
-        if not (ld.forces or ld.tractions or ld.pressures):
+        if not (
+            ld.forces or ld.tractions or ld.pressures or ld.body_force
+        ):
             return None
         f = None
         if ld.forces:
             f = nodal_forces(
                 self.mesh, {s.set: list(s.vector) for s in ld.forces}
             )
+        if ld.body_force:
+            from fea_large_tpu.bc import body_forces
+
+            fb = body_forces(self.mesh, list(ld.body_force))
+            f = fb if f is None else f + fb
         if ld.tractions or ld.pressures:
             from fea_large_tpu.mesh.surface import (
                 boundary_faces,
@@ -197,6 +208,11 @@ def _parse(data: dict, base: pathlib.Path, name: str) -> Task:
         pressures=tuple(
             PressureSpec(set=p["set"], value=float(p["value"]))
             for p in ld.get("pressures", ())
+        ),
+        body_force=(
+            tuple(float(c) for c in ld["body_force"])
+            if ld.get("body_force")
+            else None
         ),
     )
     sv = data.get("solver", {})

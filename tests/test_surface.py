@@ -191,3 +191,110 @@ def test_task_schema_tractions(tmp_path):
     np.testing.assert_allclose(
         f.sum(axis=0), [-0.2, 0.0, -0.3], atol=1e-12
     )
+
+
+# ---- body forces (volume dead loads; bc.body_forces) ----------------------
+
+
+@pytest.mark.parametrize("etype", ["tet4", "tet10"])
+def test_body_force_total_resultant(etype):
+    """Partition of unity => the consistent body-force resultant is exactly
+    b * V_total, independent of element type and mesh grading."""
+    from fea_large_tpu.bc import body_forces
+
+    mesh = box_mesh(3, 2, 2, lx=2.0, ly=1.0, lz=3.0, element_type=etype)
+    b = [0.4, -0.2, -1.1]
+    f = np.asarray(body_forces(mesh, b))
+    np.testing.assert_allclose(
+        f.sum(axis=0), np.asarray(b) * (2.0 * 1.0 * 3.0), rtol=1e-13
+    )
+
+
+def test_body_force_single_tet_analytic():
+    """Exact per-node fractions on one straight-edged tet: TET4 nodes get
+    b*V/4; TET10 vertices get -b*V/20 and mid-edges b*V/5 (the classic
+    quadratic consistent-load table: int N_vert dV = -V/20,
+    int N_mid dV = V/5)."""
+    from fea_large_tpu.bc import body_forces
+    from fea_large_tpu.mesh.core import Mesh
+
+    X4 = np.array(
+        [[0.0, 0, 0], [2.0, 0, 0], [0.0, 1.5, 0], [0.0, 0, 1.0]]
+    )
+    V = abs(np.linalg.det(X4[1:] - X4[0])) / 6.0
+    b = np.array([0.3, 0.7, -0.5])
+
+    m4 = Mesh.create(X4, np.arange(4)[None, :], "tet4")
+    f4 = np.asarray(body_forces(m4, b))
+    np.testing.assert_allclose(f4, np.tile(b * V / 4.0, (4, 1)), rtol=1e-13)
+
+    from fea_large_tpu.elements.reference import TET10_EDGES
+
+    mids = np.array([(X4[i] + X4[j]) / 2.0 for i, j in TET10_EDGES])
+    X10 = np.vstack([X4, mids])
+    m10 = Mesh.create(X10, np.arange(10)[None, :], "tet10")
+    f10 = np.asarray(body_forces(m10, b))
+    expect = np.vstack(
+        [np.tile(-b * V / 20.0, (4, 1)), np.tile(b * V / 5.0, (6, 1))]
+    )
+    np.testing.assert_allclose(f10, expect, rtol=1e-12, atol=1e-15)
+
+
+def test_body_force_small_strain_physics():
+    """Hanging column under self-weight in CONFINED (uniaxial-strain)
+    conditions — rollers on all four side faces, clamped-z top, free
+    bottom: the exact small-strain solution u_z = -rho g (h^2 - z^2)/(2M)
+    with M = lam + 2 mu is purely quadratic in z, so TET10 represents it
+    exactly and the only residual error is the O(g/M) finite-strain
+    correction."""
+    from fea_large_tpu.bc import body_forces
+    from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
+
+    lam, mu = 1.0, 0.6
+    M = lam + 2 * mu
+    g = 1e-4  # small enough that finite-strain corrections are ~g/M
+    mesh = box_mesh(2, 2, 4, lz=1.0, element_type="tet10")
+    bc = (
+        DirichletBuilder(mesh)
+        .prescribe("zmax", "z", 0.0)
+        .prescribe("xmin", "x", 0.0)
+        .prescribe("xmax", "x", 0.0)
+        .prescribe("ymin", "y", 0.0)
+        .prescribe("ymax", "y", 0.0)
+        .build()
+    )
+    f_ext = body_forces(mesh, [0.0, 0.0, -g])
+    solver = NewtonSolver(
+        mesh, NeoHookean(jnp.asarray(lam), jnp.asarray(mu)), bc,
+        f_ext=f_ext,
+        options=SolverOptions(linear="pcg", pcg_tol=1e-12, newton_rtol=1e-10),
+    )
+    res = solver.solve()
+    assert res.converged
+    bot = np.asarray(mesh.node_sets["zmin"])
+    uz = float(np.asarray(res.u)[bot, 2].mean())
+    expect = -g * 1.0**2 / (2.0 * M)
+    assert abs(uz - expect) / abs(expect) < 1e-3, (uz, expect)
+
+
+def test_task_schema_body_force(tmp_path):
+    """Task-file route: body_force parses and integrates to b*V."""
+    import json
+
+    from fea_large_tpu.io.task import load_task
+
+    spec = {
+        "mesh": {"box": {"nx": 2, "ny": 2, "nz": 2}},
+        "element_type": "tet10",
+        "material": {"model": "neo_hookean", "lambda": 1.0, "mu": 0.5},
+        "loading": {
+            "n_steps": 1,
+            "dirichlet": [{"set": "zmin"}],
+            "body_force": [0.0, 0.1, -0.9],
+        },
+    }
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(spec))
+    task = load_task(p)
+    f = np.asarray(task.build_forces())
+    np.testing.assert_allclose(f.sum(axis=0), [0.0, 0.1, -0.9], atol=1e-13)
