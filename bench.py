@@ -43,18 +43,25 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def pick_box_n(target_dof: int) -> tuple[int, "object"]:
+def pick_box_n(target_dof: int, variant: str | None = None) -> tuple[int, "object"]:
     """(n, mesh): smallest n with a TET10 n^3 box mesh at >= target_dof DOFs.
-    Node count for an n^3 box of 5-tet cells with midside nodes:
-    corners (n+1)^3 plus unique edge midpoints (counted exactly)."""
-    from fea_large_tpu.mesh.generators import box_mesh
+    Node count for an n^3 box with midside nodes: corners (n+1)^3 plus
+    unique mid-edges (~7 per cell for both cell decompositions).
 
+    variant: "5tet" (default) or "kuhn" (FEA_BENCH_MESH env) — the Kuhn
+    6-tet decomposition carries the BoxStructure descriptor that routes the
+    SoA hot path through static slices/pads instead of indexed ops
+    (mesh/structure.py)."""
+    from fea_large_tpu.mesh.generators import box_mesh, box_mesh_kuhn
+
+    variant = variant or os.environ.get("FEA_BENCH_MESH", "5tet")
+    build = {"5tet": box_mesh, "kuhn": box_mesh_kuhn}[variant]
     n = 4
     while True:
         # cheap closed-form estimate first, verify exactly near the target
         est_nodes = (n + 1) ** 3 + 7 * n**3  # ~7 unique mid-edges per cell
         if 3 * est_nodes >= target_dof:
-            mesh = box_mesh(n, n, n, element_type="tet10")
+            mesh = build(n, n, n, element_type="tet10")
             if mesh.n_dof >= target_dof or n > 64:
                 return n, mesh
         n += 1

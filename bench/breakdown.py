@@ -45,7 +45,14 @@ def loop_time(body, v0, reps=20):
 
 
 def main(n=16):
-    mesh = box_mesh(n, n, n, element_type="tet10")
+    import os
+
+    if os.environ.get("FEA_BENCH_MESH") == "kuhn":
+        from fea_large_tpu.mesh.generators import box_mesh_kuhn
+
+        mesh = box_mesh_kuhn(n, n, n, element_type="tet10")
+    else:
+        mesh = box_mesh(n, n, n, element_type="tet10")
     mat64 = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
     mat32 = NeoHookean(jnp.asarray(1.0, jnp.float32), jnp.asarray(0.6, jnp.float32))
     bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.05).build()

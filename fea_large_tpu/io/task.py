@@ -10,6 +10,10 @@ Schema (JSON):
 {
   "mesh": {"file": "beam.msh",                      # or {"box": {...}}
            "reorder": "rcm"},                       # optional: RCM renumber
+                                  # box spec: {"nx": 8, "ny": 8, "nz": 8,
+                                  #  "lx": 1.0, ..., "decomposition":
+                                  #  "5tet" (default) | "kuhn"} — "kuhn"
+                                  #  enables the structured fast path
   "element_type": "tet4" | "tet10",
   "quadrature": null | 1 | 4 | 5,                    # survey ambiguity A2
   "material": {"model": "svk"|"neo_hookean",
@@ -160,10 +164,21 @@ class Task:
 
 def _build_mesh(spec: dict, element_type: str, base: pathlib.Path) -> Mesh:
     if "box" in spec:
-        from fea_large_tpu.mesh.generators import box_mesh
+        from fea_large_tpu.mesh.generators import box_mesh, box_mesh_kuhn
 
         kw = dict(spec["box"])
-        mesh = box_mesh(element_type=element_type, **kw)
+        # "decomposition": "kuhn" selects the uniform 6-tet cell split whose
+        # affine connectivity enables the structured (indexed-op-free) SoA
+        # fast path — mesh/structure.py; default is the 5-tet split.
+        decomp = kw.pop("decomposition", "5tet")
+        if decomp == "kuhn":
+            mesh = box_mesh_kuhn(element_type=element_type, **kw)
+        elif decomp == "5tet":
+            mesh = box_mesh(element_type=element_type, **kw)
+        else:
+            raise ValueError(
+                f"unknown box decomposition {decomp!r} ('5tet' or 'kuhn')"
+            )
     elif "file" in spec:
         from fea_large_tpu.io.meshio import load_mesh_file
 

@@ -35,6 +35,10 @@ class Mesh:
     element_type: str = "tet4"
     node_sets: dict = dataclasses.field(default_factory=dict)
     n_quad: int | None = None  # quadrature override (SURVEY.md ambiguity A2)
+    #: optional BoxStructure (mesh/structure.py): present on meshes whose
+    #: connectivity is affine in a cell lattice (box_mesh_kuhn); lets the
+    #: SoA hot path replace indexed gathers/scatters with slices/pads.
+    structure: object | None = None
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
@@ -42,13 +46,17 @@ class Mesh:
             self.element_type,
             tuple(sorted(self.node_sets.items(), key=lambda kv: kv[0])),
             self.n_quad,
+            self.structure,
         )
         return (self.coords, self.conn), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        element_type, node_sets, n_quad = aux
-        return cls(children[0], children[1], element_type, dict(node_sets), n_quad)
+        element_type, node_sets, n_quad, structure = aux
+        return cls(
+            children[0], children[1], element_type, dict(node_sets), n_quad,
+            structure,
+        )
 
     # -- convenience --------------------------------------------------------
     @property
@@ -92,7 +100,8 @@ class Mesh:
         return cached
 
     @staticmethod
-    def create(coords, conn, element_type: str, node_sets: dict | None = None) -> "Mesh":
+    def create(coords, conn, element_type: str, node_sets: dict | None = None,
+               structure=None) -> "Mesh":
         coords_np = np.asarray(coords, np.float64)
         conn_np = np.asarray(conn, np.int32)
         npe = {"tet4": 4, "tet10": 10}[element_type]
@@ -105,6 +114,8 @@ class Mesh:
             jnp.asarray(conn_np, INDEX_DTYPE),
             element_type,
             dict(node_sets or {}),
+            None,
+            structure,
         )
         object.__setattr__(mesh, "_conn_host", conn_np)
         object.__setattr__(mesh, "_coords_host", coords_np)

@@ -248,17 +248,23 @@ class SoAProblem:
     segids_T: jnp.ndarray  # i32[npe*E] node per sorted slot
     buckets: ScatterBuckets | None
     n_nodes: int
+    #: optional BoxStructure (mesh/structure.py, static aux): when present,
+    #: soa_gather / soa_scatter_channels run as static slices / padded adds
+    #: on the class grids — no indexed ops at all (the structured fast path;
+    #: supersedes both conn_T gathers and the valence buckets on this mesh).
+    structure: object | None = None
 
     def tree_flatten(self):
         return (
             (self.gradN, self.detJxW, self.conn_T, self.perm_T, self.segids_T,
              self.buckets),
-            self.n_nodes,
+            (self.n_nodes, self.structure),
         )
 
     @classmethod
-    def tree_unflatten(cls, n_nodes, children):
-        return cls(*children, n_nodes)
+    def tree_unflatten(cls, aux, children):
+        n_nodes, structure = aux
+        return cls(*children, n_nodes, structure)
 
     @staticmethod
     def build(mesh, dtype=jnp.float32, share_maps_from: "SoAProblem | None" = None
@@ -274,6 +280,7 @@ class SoAProblem:
         J = np.einsum("eai,qaj->eqij", Xe, dN)
         detJ = np.linalg.det(J)
         gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [E,q,npe,3]
+        structure = getattr(mesh, "structure", None)
         if share_maps_from is not None:
             s = share_maps_from
             conn_T, perm_T, segids_T, buckets = (
@@ -286,7 +293,13 @@ class SoAProblem:
             conn_T = jnp.asarray(conn_np, INDEX_DTYPE)
             perm_T = jnp.asarray(perm, INDEX_DTYPE)
             segids_T = jnp.asarray(flat[perm], INDEX_DTYPE)
-            buckets = ScatterBuckets.build(conn_np, int(mesh.n_nodes))
+            # the structured path never runs indexed nodal sums — skip the
+            # bucket build (setup time + device tables) on such meshes
+            buckets = (
+                None
+                if structure is not None
+                else ScatterBuckets.build(conn_np, int(mesh.n_nodes))
+            )
         return SoAProblem(
             gradN=jnp.asarray(np.transpose(gradN, (1, 2, 3, 0)), dtype),
             detJxW=jnp.asarray((detJ * w[None, :]).T, dtype),
@@ -295,20 +308,86 @@ class SoAProblem:
             segids_T=segids_T,
             buckets=buckets,
             n_nodes=int(mesh.n_nodes),
+            structure=structure,
         )
 
 
+def _struct_slot_gather(st, v: jnp.ndarray, t: int, a: int) -> jnp.ndarray:
+    """v [N] -> [ncells] values of node slot a of tet slot t: reshape the
+    class subgrid and take the static offset slice (no indexed ops)."""
+    nx, ny, nz = st.cells
+    k = st.slot_class[t][a]
+    o = st.slot_offset[t][a]
+    gx, gy, gz = st.class_dims[k]
+    b = st.class_base[k]
+    g = v[b : b + gx * gy * gz].reshape(gx, gy, gz)
+    return g[
+        o[0] : o[0] + nx, o[1] : o[1] + ny, o[2] : o[2] + nz
+    ].reshape(-1)
+
+
 def soa_gather(p: SoAProblem, v_T: jnp.ndarray):
-    """v_T [3, N] -> per-element nodal values [3][npe] of [E]-vectors."""
+    """v_T [3, N] -> per-element nodal values [3][npe] of [E]-vectors.
+
+    Structured meshes (p.structure): each (tet-slot, node-slot) pair is an
+    affine map of the cell lattice, so the gather is a static shifted slice
+    per tet slot, concatenated in the tet-slot-major element order (see
+    mesh/structure.py). Unstructured: one conn_T gather."""
+    st = p.structure
+    if st is not None:
+        return [
+            [
+                jnp.concatenate(
+                    [
+                        _struct_slot_gather(st, v_T[i], t, a)
+                        for t in range(st.n_tets)
+                    ]
+                )
+                for a in range(st.npe)
+            ]
+            for i in range(3)
+        ]
     ve = v_T[:, p.conn_T]  # [3, npe, E]
     return [[ve[i, a] for a in range(p.conn_T.shape[0])] for i in range(3)]
+
+
+def _struct_scatter_one(st, ch: list) -> jnp.ndarray:
+    """One channel (npe [E]-vectors) -> [N] nodal sums by zero-padded adds
+    onto the class grids: contribution of (t, a) at cell offset o lands in
+    its class grid shifted by o, so summing jnp.pad'ed cell blocks IS the
+    scatter-add — fixed order, no indexed writes."""
+    nx, ny, nz = st.cells
+    C = st.n_cells
+    acc = [None] * len(st.classes)
+    for t in range(st.n_tets):
+        for a in range(st.npe):
+            k = st.slot_class[t][a]
+            o = st.slot_offset[t][a]
+            gx, gy, gz = st.class_dims[k]
+            blk = ch[a][t * C : (t + 1) * C].reshape(nx, ny, nz)
+            g = jnp.pad(
+                blk,
+                (
+                    (o[0], gx - nx - o[0]),
+                    (o[1], gy - ny - o[1]),
+                    (o[2], gz - nz - o[2]),
+                ),
+            )
+            acc[k] = g if acc[k] is None else acc[k] + g
+    return jnp.concatenate([g.reshape(-1) for g in acc])
 
 
 def soa_scatter_channels(p: SoAProblem, channels: list) -> jnp.ndarray:
     """channels: C lists of npe [E]-vectors -> [C, N] nodal sums.
 
-    Bucketed scatter-as-gather when maps are available (ScatterBuckets
-    docstring has the measured cost model), else direct segment-sum."""
+    Structured meshes: padded-add onto class grids (_struct_scatter_one).
+    Unstructured: bucketed scatter-as-gather when maps are available
+    (ScatterBuckets docstring has the measured cost model), else direct
+    segment-sum."""
+    if p.structure is not None:
+        return jnp.stack(
+            [_struct_scatter_one(p.structure, ch) for ch in channels]
+        )
     npe = p.conn_T.shape[0]
     d = jnp.stack(
         [jnp.concatenate([ch[a] for a in range(npe)]) for ch in channels]
