@@ -458,16 +458,43 @@ def _material_kind(material) -> int:
     )
 
 
+def _full_tables(p):
+    """(gradN [q, npe, 3, E], detJxW [q, E]): per-element geometry tables.
+    Structured-uniform SoAProblems store slot-compressed tables
+    ([.., n_tets]; ops/soa._slot_tables) — re-tile them here, since the
+    Pallas kernels stream per-element rows."""
+    g, V = p.gradN, p.detJxW
+    st = getattr(p, "structure", None)
+    if st is not None and g.shape[-1] == st.n_tets:
+        C = st.n_cells
+        g = jnp.broadcast_to(g[..., None], (*g.shape, C)).reshape(
+            *g.shape[:-1], -1
+        )
+        V = jnp.broadcast_to(V[..., None], (*V.shape, C)).reshape(
+            V.shape[0], -1
+        )
+    return g, V
+
+
+def _gather_flat(p, v_T, npe):
+    """v_T [3, N] -> [3*npe, E] rows ordered 3*a + i, via the mesh's gather
+    path (structured slices or conn_T indexing — ops/soa.soa_gather)."""
+    from fea_large_tpu.ops.soa import soa_gather
+
+    ge = soa_gather(p, v_T)
+    return jnp.stack([ge[i][a] for a in range(npe) for i in range(3)])
+
+
 def soa_freeze_pallas(p, material, u_T, block_e: int = 512):
     """Drop-in Pallas variant of `ops.soa.soa_freeze` (same gather, fused
     kinematics + constitutive update in one VMEM-resident kernel)."""
     from fea_large_tpu.ops.soa import SoAState
 
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
-    E = p.gradN.shape[-1]
-    ue = u_T[:, p.conn_T]  # [3, npe, E]
-    ue_flat = ue.transpose(1, 0, 2).reshape(3 * npe, E)  # rows = 3*a + i
-    gradN_flat = p.gradN.reshape(q * npe * 3, E)
+    gradN, _ = _full_tables(p)
+    E = gradN.shape[-1]
+    ue_flat = _gather_flat(p, u_T, npe)  # rows = 3*a + i
+    gradN_flat = gradN.reshape(q * npe * 3, E)
     F, S, A, alpha, beta = pallas_freeze(
         ue_flat, gradN_flat, material.lam, material.mu,
         npe=npe, q=q, kind=_material_kind(material), block_e=block_e,
@@ -487,12 +514,13 @@ def soa_internal_force_pallas(p, state, block_e: int = 512):
     from fea_large_tpu.ops.soa import soa_scatter
 
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
-    E = p.gradN.shape[-1]
-    gradN_flat = p.gradN.reshape(q * npe * 3, E)
+    gradN, detJxW = _full_tables(p)
+    E = gradN.shape[-1]
+    gradN_flat = gradN.reshape(q * npe * 3, E)
     Fb = state.F.reshape(q * 9, E)
     Sb = state.S.reshape(q * 9, E)
     out = pallas_internal_force(
-        gradN_flat, p.detJxW, Fb, Sb, npe=npe, q=q, block_e=block_e
+        gradN_flat, detJxW, Fb, Sb, npe=npe, q=q, block_e=block_e
     )
     fe = [[out[i * npe + a] for a in range(npe)] for i in range(3)]
     return soa_scatter(p, fe)
@@ -504,14 +532,14 @@ def soa_apply_tangent_pallas(p, state, v_T, block_e: int = 512):
     from fea_large_tpu.ops.soa import soa_scatter
 
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
-    E = p.gradN.shape[-1]
-    ve = v_T[:, p.conn_T]  # [3, npe, E]
-    ve_flat = ve.transpose(1, 0, 2).reshape(3 * npe, E)  # rows = 3*a + i
+    gradN, detJxW = _full_tables(p)
+    E = gradN.shape[-1]
     # kernel expects rows ordered as (a, i) triplets: ve[3a+i]
-    gradN_flat = p.gradN.reshape(q * npe * 3, E)
+    ve_flat = _gather_flat(p, v_T, npe)
+    gradN_flat = gradN.reshape(q * npe * 3, E)
     Fb, Sb, Ab, al, be = flatten_state(state)
     out = pallas_element_apply(
-        ve_flat, gradN_flat, p.detJxW, Fb, Sb, Ab, al, be,
+        ve_flat, gradN_flat, detJxW, Fb, Sb, Ab, al, be,
         npe=npe, q=q, block_e=block_e,
     )
     # out rows are i*npe + a; regroup to fe[i][a] lists for the scatter

@@ -241,8 +241,8 @@ class SoAProblem:
     ascending-segment layout.
     """
 
-    gradN: jnp.ndarray  # f32[q, npe, 3, E]
-    detJxW: jnp.ndarray  # f32[q, E]
+    gradN: jnp.ndarray  # f32[q, npe, 3, E]  (structured-uniform: [.., T])
+    detJxW: jnp.ndarray  # f32[q, E]          (structured-uniform: [q, T])
     conn_T: jnp.ndarray  # i32[npe, E]
     perm_T: jnp.ndarray  # i32[npe*E] stable sort of flat (a, e) by node id
     segids_T: jnp.ndarray  # i32[npe*E] node per sorted slot
@@ -281,6 +281,26 @@ class SoAProblem:
         detJ = np.linalg.det(J)
         gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [E,q,npe,3]
         structure = getattr(mesh, "structure", None)
+        gradN_T = np.transpose(gradN, (1, 2, 3, 0))  # [q, npe, 3, E]
+        detJxW_T = (detJ * w[None, :]).T  # [q, E]
+        if structure is not None:
+            # uniform lattice: all cells of a tet slot are congruent, so the
+            # per-element geometry tables collapse to per-slot constants
+            # [q, npe, 3, T] / [q, T] (re-broadcast lazily in _slot_tables —
+            # XLA fuses the broadcast, eliminating ~480 B/element of table
+            # reads from every hot pass). Verified numerically; a graded
+            # structured mesh would fail the check and keep full tables.
+            T, C = structure.n_tets, structure.n_cells
+            g5 = gradN_T.reshape(*gradN_T.shape[:3], T, C)
+            v3 = detJxW_T.reshape(detJxW_T.shape[0], T, C)
+            g_slot, v_slot = g5[..., :1], v3[..., :1]
+            tol = 1e-12
+            if (
+                np.max(np.abs(g5 - g_slot)) <= tol * np.max(np.abs(g_slot))
+                and np.max(np.abs(v3 - v_slot)) <= tol * np.max(np.abs(v_slot))
+            ):
+                gradN_T = np.ascontiguousarray(g_slot[..., 0])
+                detJxW_T = np.ascontiguousarray(v_slot[..., 0])
         if share_maps_from is not None:
             s = share_maps_from
             conn_T, perm_T, segids_T, buckets = (
@@ -301,8 +321,8 @@ class SoAProblem:
                 else ScatterBuckets.build(conn_np, int(mesh.n_nodes))
             )
         return SoAProblem(
-            gradN=jnp.asarray(np.transpose(gradN, (1, 2, 3, 0)), dtype),
-            detJxW=jnp.asarray((detJ * w[None, :]).T, dtype),
+            gradN=jnp.asarray(gradN_T, dtype),
+            detJxW=jnp.asarray(detJxW_T, dtype),
             conn_T=conn_T,
             perm_T=perm_T,
             segids_T=segids_T,
@@ -310,6 +330,24 @@ class SoAProblem:
             n_nodes=int(mesh.n_nodes),
             structure=structure,
         )
+
+
+def _slot_tables(p: SoAProblem, k: int):
+    """(g, V) geometry tables at quadrature point k, as [npe, 3, E] / [E].
+
+    On structured-uniform meshes the stored tables are per-tet-slot
+    constants ([npe, 3, T] / [T]); they are re-expanded here with a lazy
+    broadcast_to + reshape that XLA fuses into the consumers — no [E]-sized
+    table is ever materialized in HBM."""
+    g, V = p.gradN[k], p.detJxW[k]
+    st = p.structure
+    if st is not None and g.shape[-1] == st.n_tets:
+        C = st.n_cells
+        g = jnp.broadcast_to(g[..., None], (*g.shape, C)).reshape(
+            *g.shape[:-1], -1
+        )
+        V = jnp.broadcast_to(V[:, None], (V.shape[0], C)).reshape(-1)
+    return g, V
 
 
 def _struct_slot_gather(st, v: jnp.ndarray, t: int, a: int) -> jnp.ndarray:
@@ -483,7 +521,7 @@ def soa_freeze(p: SoAProblem, material: Material, u_T: jnp.ndarray) -> SoAState:
     ue = soa_gather(p, u_T)
     Fs, Ss, As, als, bes = [], [], [], [], []
     for k in range(q):
-        g = p.gradN[k]  # [npe, 3, E]
+        g, _ = _slot_tables(p, k)  # [npe, 3, E]
         F = [
             [
                 (1.0 if i == J else 0.0)
@@ -512,10 +550,9 @@ def soa_internal_force(p: SoAProblem, state: SoAState) -> jnp.ndarray:
     for k in range(q):
         F = m3_unstack(state.F[k])
         S = m3_unstack(state.S[k])
-        V = p.detJxW[k]
+        g, V = _slot_tables(p, k)
         P = m3_matmul(F, S)
         PV = [[P[i][J] * V for J in range(3)] for i in range(3)]
-        g = p.gradN[k]
         for i in range(3):
             for a in range(npe):
                 fe[i][a] = fe[i][a] + sum(PV[i][J] * g[a, J] for J in range(3))
@@ -532,8 +569,8 @@ def soa_apply_tangent(p: SoAProblem, state: SoAState, v_T: jnp.ndarray) -> jnp.n
         F = m3_unstack(state.F[k])
         S = m3_unstack(state.S[k])
         A = m3_unstack(state.A[k])
-        alpha, beta, V = state.alpha[k], state.beta[k], p.detJxW[k]
-        g = p.gradN[k]
+        alpha, beta = state.alpha[k], state.beta[k]
+        g, V = _slot_tables(p, k)
         # dF_iJ = sum_a v[a,i] g_a[J]
         dF = [
             [sum(ve[i][a] * g[a, J] for a in range(npe)) for J in range(3)]
@@ -573,8 +610,8 @@ def soa_diag_blocks(p: SoAProblem, state: SoAState) -> jnp.ndarray:
         F = m3_unstack(state.F[kq])
         S = m3_unstack(state.S[kq])
         A = m3_unstack(state.A[kq])
-        alpha, beta, V = state.alpha[kq], state.beta[kq], p.detJxW[kq]
-        g = p.gradN[kq]
+        alpha, beta = state.alpha[kq], state.beta[kq]
+        g, V = _slot_tables(p, kq)
         FA = m3_matmul(F, A)
         B = m3_matmul(FA, m3_transpose(F))
         w1 = (alpha + 0.5 * beta) * V
