@@ -370,21 +370,33 @@ def soa_gather(p: SoAProblem, v_T: jnp.ndarray):
     Structured meshes (p.structure): each (tet-slot, node-slot) pair is an
     affine map of the cell lattice, so the gather is a static shifted slice
     per tet slot, concatenated in the tet-slot-major element order (see
-    mesh/structure.py). Unstructured: one conn_T gather."""
+    mesh/structure.py). The 6*npe slot slices collapse to the distinct
+    (class, offset) pairs (27 for TET10, 8 for TET4) — deduped here so the
+    traced graph carries each slice once (XLA would CSE the duplicates, but
+    the 3x-smaller jaxpr also traces/compiles faster). Unstructured: one
+    conn_T gather."""
     st = p.structure
     if st is not None:
-        return [
-            [
-                jnp.concatenate(
-                    [
-                        _struct_slot_gather(st, v_T[i], t, a)
-                        for t in range(st.n_tets)
-                    ]
-                )
-                for a in range(st.npe)
-            ]
-            for i in range(3)
-        ]
+        out = []
+        for i in range(3):
+            cache = {}
+            for t in range(st.n_tets):
+                for a in range(st.npe):
+                    key = (st.slot_class[t][a], st.slot_offset[t][a])
+                    if key not in cache:
+                        cache[key] = _struct_slot_gather(st, v_T[i], t, a)
+            out.append(
+                [
+                    jnp.concatenate(
+                        [
+                            cache[(st.slot_class[t][a], st.slot_offset[t][a])]
+                            for t in range(st.n_tets)
+                        ]
+                    )
+                    for a in range(st.npe)
+                ]
+            )
+        return out
     ve = v_T[:, p.conn_T]  # [3, npe, E]
     return [[ve[i, a] for a in range(p.conn_T.shape[0])] for i in range(3)]
 
@@ -393,25 +405,32 @@ def _struct_scatter_one(st, ch: list) -> jnp.ndarray:
     """One channel (npe [E]-vectors) -> [N] nodal sums by zero-padded adds
     onto the class grids: contribution of (t, a) at cell offset o lands in
     its class grid shifted by o, so summing jnp.pad'ed cell blocks IS the
-    scatter-add — fixed order, no indexed writes."""
+    scatter-add — fixed order, no indexed writes.
+
+    Slots sharing a (class, offset) pair (60 -> 27 for TET10) are summed on
+    the raw [C] cell blocks FIRST, so each distinct pair pays exactly one
+    pad + one class-grid add — ~2x fewer padded ops and a 2x smaller traced
+    graph than the naive per-slot loop, same deterministic order."""
     nx, ny, nz = st.cells
     C = st.n_cells
-    acc = [None] * len(st.classes)
+    groups = {}
     for t in range(st.n_tets):
         for a in range(st.npe):
-            k = st.slot_class[t][a]
-            o = st.slot_offset[t][a]
-            gx, gy, gz = st.class_dims[k]
-            blk = ch[a][t * C : (t + 1) * C].reshape(nx, ny, nz)
-            g = jnp.pad(
-                blk,
-                (
-                    (o[0], gx - nx - o[0]),
-                    (o[1], gy - ny - o[1]),
-                    (o[2], gz - nz - o[2]),
-                ),
-            )
-            acc[k] = g if acc[k] is None else acc[k] + g
+            key = (st.slot_class[t][a], st.slot_offset[t][a])
+            blk = ch[a][t * C : (t + 1) * C]
+            groups[key] = blk if key not in groups else groups[key] + blk
+    acc = [None] * len(st.classes)
+    for (k, o), blk in groups.items():
+        gx, gy, gz = st.class_dims[k]
+        g = jnp.pad(
+            blk.reshape(nx, ny, nz),
+            (
+                (o[0], gx - nx - o[0]),
+                (o[1], gy - ny - o[1]),
+                (o[2], gz - nz - o[2]),
+            ),
+        )
+        acc[k] = g if acc[k] is None else acc[k] + g
     return jnp.concatenate([g.reshape(-1) for g in acc])
 
 
