@@ -23,7 +23,9 @@ step alone. BENCH_NOTES.md records BOTH every round.
 
 Prints exactly ONE JSON line. Env overrides: FEA_BENCH_DOF (target DOF
 count, default 1_000_000), FEA_BENCH_REPS (timed repetitions, default 3),
-FEA_BENCH_PRECOND, FEA_BENCH_AGG, FEA_BENCH_PRECISION.
+FEA_BENCH_PRECOND, FEA_BENCH_AGG, FEA_BENCH_PRECISION, FEA_BENCH_MESH
+("kuhn" default = the structured-lattice fast path; "5tet" = the
+unstructured code path on the same box geometry — see pick_box_n).
 """
 
 import json
@@ -48,13 +50,17 @@ def pick_box_n(target_dof: int, variant: str | None = None) -> tuple[int, "objec
     Node count for an n^3 box with midside nodes: corners (n+1)^3 plus
     unique mid-edges (~7 per cell for both cell decompositions).
 
-    variant: "5tet" (default) or "kuhn" (FEA_BENCH_MESH env) — the Kuhn
+    variant: "kuhn" (default) or "5tet" (FEA_BENCH_MESH env) — the Kuhn
     6-tet decomposition carries the BoxStructure descriptor that routes the
     SoA hot path through static slices/pads instead of indexed ops
-    (mesh/structure.py)."""
+    (mesh/structure.py); "5tet" benches the unstructured code path on the
+    same geometry. BOTH rows are recorded in BENCH_NOTES every round —
+    they are the same physical problem (1M-DOF TET10 neo-Hookean box
+    compression) on different code paths, not comparable across the
+    variant switch."""
     from fea_large_tpu.mesh.generators import box_mesh, box_mesh_kuhn
 
-    variant = variant or os.environ.get("FEA_BENCH_MESH", "5tet")
+    variant = variant or os.environ.get("FEA_BENCH_MESH", "kuhn")
     build = {"5tet": box_mesh, "kuhn": box_mesh_kuhn}[variant]
     n = 4
     while True:
@@ -78,10 +84,12 @@ def main():
 
     t0 = time.perf_counter()
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
-    n, mesh = pick_box_n(target_dof)
+    variant = os.environ.get("FEA_BENCH_MESH", "kuhn")
+    n, mesh = pick_box_n(target_dof, variant)
     log(
-        f"bench: TET10 box n={n}: {mesh.n_nodes} nodes, {mesh.n_elements} "
-        f"elements, {mesh.n_dof} DOFs ({time.perf_counter()-t0:.1f}s)"
+        f"bench: TET10 box n={n} ({variant}): {mesh.n_nodes} nodes, "
+        f"{mesh.n_elements} elements, {mesh.n_dof} DOFs "
+        f"({time.perf_counter()-t0:.1f}s)"
     )
 
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
@@ -198,6 +206,7 @@ def main():
         {
             "n_dof": mesh.n_dof,
             "n_elements": mesh.n_elements,
+            "mesh": variant,
             "backend": jax.default_backend(),
             "reps": times,
         }

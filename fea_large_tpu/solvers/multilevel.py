@@ -216,18 +216,27 @@ def aggregate_nodes(coords: np.ndarray, agg_size: int = 512) -> np.ndarray:
 
 def default_agg_size(n_nodes: int, target_coarse: int = 5000) -> int:
     """Aggregate size targeting ~`target_coarse` aggregates, with the
-    target itself scaling as sqrt(N) beyond the 1M-DOF calibration point.
+    target itself scaling as sqrt(N) beyond the 1M-DOF calibration point
+    and the aggregate floored at 60 nodes.
 
     Calibration (BENCH_NOTES.md): at 1M DOF the fixed target balances the
     dense [modes*Nc]^2 coarse apply against the iteration count (finer
     coarse LOST: Nc 5k -> 1.218 s/step vs 2.7k -> 1.15); at 4M DOF the
     4x-costlier matvec flips the balance and the finer coarse WINS
     (Nc 4.5k -> 8.42 s/step vs 2.5k -> 9.23). A sqrt(N) target matches
-    both measured optima: ~2.5k at 1M, ~4.9k at 4M (modes=6 base)."""
+    both measured optima: ~2.5k at 1M, ~4.9k at 4M (modes=6 base).
+
+    The 60-node FLOOR (round-3 agg-policy sweep) kicks in below ~150k
+    nodes, where the fixed target would otherwise shatter the mesh into
+    tiny aggregates: at 95k DOF the un-floored default (agg 16, coarse
+    dim 13182) cost 889 s of setup for 0.0428 s/step, while agg 60
+    (dim 3072) measured 0.0401 s/step at 44 s setup — better on BOTH
+    axes; iteration counts grow only mildly (42 -> 56) while the dense
+    coarse apply and its inverse build shrink 4x."""
     ref_nodes = 342_361  # the 1M-DOF calibration mesh
     scale = max(1.0, float(n_nodes) / ref_nodes) ** 0.5
     target = int(target_coarse * scale)
-    return int(np.clip(n_nodes // target, 16, 4096))
+    return int(np.clip(n_nodes // target, 60, 4096))
 
 
 def _rbm_dvec(coords: np.ndarray, agg: np.ndarray, cent: np.ndarray,
