@@ -1,0 +1,121 @@
+"""Structured slab partition (dist/structured.py): host-side invariants.
+
+The distributed structured fast path stands on three host-verifiable
+facts: (1) slab ownership is a partition of the global nodes, (2) the
+local class-grid connectivity realizes exactly the global elements of the
+slab, and (3) the halo relation is precisely "left plane of shard p ==
+right plane of shard p-1" so a single plane ppermute is a complete
+exchange. These tests pin all three against the general global mesh."""
+
+import numpy as np
+import pytest
+
+from fea_large_tpu.dist.structured import (
+    add_right_planes,
+    left_planes,
+    right_planes,
+    set_left_planes,
+    structured_partition,
+)
+from fea_large_tpu.mesh.generators import box_mesh_kuhn
+from fea_large_tpu.mesh.structure import structure_conn
+
+
+@pytest.mark.parametrize("element_type", ["tet4", "tet10"])
+def test_ownership_partitions_nodes(element_type):
+    from fea_large_tpu.mesh.structure import class_coords
+
+    mesh = box_mesh_kuhn(8, 3, 2, element_type=element_type)
+    sp = structured_partition(mesh.structure, 4)
+    counts = np.zeros(mesh.n_nodes)
+    for p in range(4):
+        np.add.at(counts, sp.local_to_global[p], sp.own_mask[p])
+    assert (counts == 1.0).all()  # every node owned exactly once
+    # local_to_global maps each local grid node onto the global node at
+    # the same physical point: local coords + slab x-offset == global
+    coords = mesh.coords_host
+    h = 1.0 / 8  # unit box, 8 x-cells
+    local_xyz = class_coords(
+        sp.local, lx=sp.cells_per_shard * h, ly=1.0, lz=1.0
+    )
+    for p in range(4):
+        shifted = local_xyz + np.array([p * sp.cells_per_shard * h, 0, 0])
+        np.testing.assert_allclose(
+            coords[sp.local_to_global[p]], shifted, atol=1e-12
+        )
+
+
+def test_from_to_global_roundtrip():
+    mesh = box_mesh_kuhn(6, 2, 2, element_type="tet10")
+    sp = structured_partition(mesh.structure, 3)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(mesh.n_nodes, 3))
+    loc = sp.from_global(x)
+    assert loc.shape == (3, sp.n_local, 3)
+    np.testing.assert_array_equal(sp.to_global(loc), x)
+
+
+@pytest.mark.parametrize("element_type", ["tet4", "tet10"])
+def test_local_conn_realizes_global_elements(element_type):
+    mesh = box_mesh_kuhn(4, 2, 3, element_type=element_type)
+    sp = structured_partition(mesh.structure, 2)
+    conn_g = mesh.conn_host.astype(np.int64)
+    conn_l = structure_conn(sp.local)  # [El, npe] in local node space
+    eg = sp.elem_global()
+    for p in range(2):
+        np.testing.assert_array_equal(
+            sp.local_to_global[p][conn_l], conn_g[eg[p]]
+        )
+    # elements partition exactly: no repeats, full coverage
+    allg = np.sort(eg.ravel())
+    np.testing.assert_array_equal(allg, np.arange(mesh.n_elements))
+
+
+def test_halo_is_exactly_the_neighbor_plane():
+    mesh = box_mesh_kuhn(8, 2, 2, element_type="tet10")
+    sp = structured_partition(mesh.structure, 4)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(mesh.n_nodes, 3))
+    loc = sp.from_global(x)
+    for p in range(1, 4):
+        lp = np.asarray(left_planes(sp, loc[p]))
+        rp = np.asarray(right_planes(sp, loc[p - 1]))
+        np.testing.assert_array_equal(lp, rp)
+    # halo slots are exactly the unowned slots
+    for p in range(4):
+        halo = np.zeros(sp.n_local, bool)
+        got = np.asarray(left_planes(sp, np.arange(sp.n_local)[:, None]))
+        if p > 0:
+            halo[got[:, 0].astype(int)] = True
+        np.testing.assert_array_equal(sp.own_mask[p] == 0.0, halo)
+
+
+def test_plane_set_and_add_are_inverse_slices():
+    mesh = box_mesh_kuhn(4, 3, 2, element_type="tet10")
+    sp = structured_partition(mesh.structure, 2)
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(sp.n_local, 3))
+    pl = rng.normal(size=(sp.plane_size, 3))
+    out = np.asarray(set_left_planes(sp, v, pl))
+    np.testing.assert_array_equal(np.asarray(left_planes(sp, out)), pl)
+    # untouched everywhere else
+    mask = np.ones(sp.n_local, bool)
+    idx = np.asarray(
+        left_planes(sp, np.arange(sp.n_local)[:, None])
+    )[:, 0].astype(int)
+    mask[idx] = False
+    np.testing.assert_array_equal(out[mask], v[mask])
+
+    out2 = np.asarray(add_right_planes(sp, v, pl))
+    ridx = np.asarray(
+        right_planes(sp, np.arange(sp.n_local)[:, None])
+    )[:, 0].astype(int)
+    expect = v.copy()
+    expect[ridx] += pl
+    np.testing.assert_allclose(out2, expect)
+
+
+def test_indivisible_cell_count_rejected():
+    mesh = box_mesh_kuhn(6, 2, 2, element_type="tet4")
+    with pytest.raises(ValueError):
+        structured_partition(mesh.structure, 4)
