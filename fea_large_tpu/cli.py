@@ -49,7 +49,7 @@ def _cmd_run(args) -> int:
         # interface)
         import jax
 
-        from fea_large_tpu.dist.sharded import ShardedNewtonSolver
+        from fea_large_tpu.dist.structured_solver import make_sharded_solver
 
         devices = jax.devices()
         if len(devices) < n_shards:
@@ -60,7 +60,9 @@ def _cmd_run(args) -> int:
                 "virtual CPU mesh)"
             )
             return 2
-        solver = ShardedNewtonSolver(
+        # structured Kuhn-lattice meshes route to the boundary-plane
+        # exchange solver; anything else takes the general indexed path
+        solver = make_sharded_solver(
             mesh, task.material, bc, task.build_forces(), task.solver,
             devices=devices[:n_shards],
             partition_method=task.partition.method,
@@ -166,7 +168,7 @@ def _cmd_bench(args) -> int:
         # bench the task the way `run` executes it (config 5 included)
         import jax
 
-        from fea_large_tpu.dist.sharded import ShardedNewtonSolver
+        from fea_large_tpu.dist.structured_solver import make_sharded_solver
 
         devices = jax.devices()
         if len(devices) < n_shards:
@@ -175,7 +177,7 @@ def _cmd_bench(args) -> int:
                 "error": f"needs {n_shards} devices, have {len(devices)}",
             }))
             return 2
-        solver = ShardedNewtonSolver(
+        solver = make_sharded_solver(
             task.mesh, task.material, task.build_bc(), task.build_forces(),
             task.solver, devices=devices[:n_shards],
             partition_method=task.partition.method,

@@ -119,3 +119,118 @@ def test_indivisible_cell_count_rejected():
     mesh = box_mesh_kuhn(6, 2, 2, element_type="tet4")
     with pytest.raises(ValueError):
         structured_partition(mesh.structure, 4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end structured-sharded parity (8-virtual-device CPU mesh)
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from fea_large_tpu import NeoHookean, StVenantKirchhoff  # noqa: E402
+from fea_large_tpu.bc import DirichletBuilder  # noqa: E402
+from fea_large_tpu.dist.sharded import ShardedNewtonSolver  # noqa: E402
+from fea_large_tpu.dist.structured_solver import (  # noqa: E402
+    StructuredShardedSolver,
+    make_sharded_solver,
+    structured_shardable,
+)
+from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions  # noqa: E402
+
+
+def _devices(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices, have {len(devs)}")
+    return devs[:n]
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_structured_sharded_matches_single_device_tet4(n_shards):
+    devs = _devices(n_shards)
+    mesh = box_mesh_kuhn(4, 2, 2, lx=4.0, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", 0.2).build()
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+
+    ref = NewtonSolver(mesh, mat, bc, options=opts).solve()
+    assert ref.converged
+    sharded = StructuredShardedSolver(mesh, mat, bc, options=opts, devices=devs)
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
+
+
+def test_structured_sharded_tet10_nh_two_level():
+    """TET10 neo-Hookean with the RBM two-level coarse — the full config-5
+    program matrix on the structured exchange."""
+    devs = _devices(4)
+    mesh = box_mesh_kuhn(4, 2, 2, lx=4.0, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", -0.1).build()
+    opts = SolverOptions(
+        linear="pcg", n_steps=2, pcg_tol=1e-13,
+        preconditioner="two_level", agg_size=16, coarse_modes=6,
+    )
+    ref = NewtonSolver(mesh, mat, bc, options=opts).solve()
+    assert ref.converged
+    sharded = StructuredShardedSolver(mesh, mat, bc, options=opts, devices=devs)
+    res = sharded.solve()
+    assert res.converged
+    u = sharded.u_global(res.u)
+    scale = np.abs(np.asarray(ref.u)).max()
+    np.testing.assert_allclose(u, np.asarray(ref.u), rtol=0, atol=1e-10 * scale)
+
+
+def test_structured_sharded_matches_general_sharded():
+    """The two sharded paths (indexed halo maps vs boundary-plane
+    ppermute) solve the same problem to the same displacements."""
+    devs = _devices(4)
+    mesh = box_mesh_kuhn(4, 2, 2, lx=4.0, element_type="tet10")
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    bc = DirichletBuilder(mesh).fix("zmin").prescribe("zmax", "z", -0.08).build()
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+    a = StructuredShardedSolver(mesh, mat, bc, options=opts, devices=devs)
+    b = ShardedNewtonSolver(mesh, mat, bc, options=opts, devices=devs)
+    ra, rb = a.solve(), b.solve()
+    assert ra.converged and rb.converged
+    ua, ub = a.u_global(ra.u), b.u_global(rb.u)
+    scale = np.abs(ub).max()
+    np.testing.assert_allclose(ua, ub, rtol=0, atol=1e-10 * scale)
+
+
+def test_structured_sharded_deterministic_repeat():
+    devs = _devices(4)
+    mesh = box_mesh_kuhn(4, 2, 2, lx=4.0, element_type="tet4")
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    bc = DirichletBuilder(mesh).fix("xmin").prescribe("xmax", "x", 0.15).build()
+    opts = SolverOptions(linear="pcg", n_steps=1, pcg_tol=1e-13)
+    s1 = StructuredShardedSolver(mesh, mat, bc, options=opts, devices=devs).solve()
+    s2 = StructuredShardedSolver(mesh, mat, bc, options=opts, devices=devs).solve()
+    np.testing.assert_array_equal(np.asarray(s1.u), np.asarray(s2.u))
+
+
+def test_factory_routes_by_structure():
+    from fea_large_tpu.mesh.generators import box_mesh
+
+    devs = _devices(4)
+    mat = StVenantKirchhoff(jnp.asarray(1.0), jnp.asarray(1.0))
+    opts = SolverOptions(linear="pcg", pcg_tol=1e-12)
+    km = box_mesh_kuhn(4, 2, 2, element_type="tet4")
+    bc = DirichletBuilder(km).fix("zmin").prescribe("zmax", "z", 0.05).build()
+    s = make_sharded_solver(km, mat, bc, options=opts, devices=devs)
+    assert isinstance(s, StructuredShardedSolver)
+    # indivisible x cell count -> general path
+    km6 = box_mesh_kuhn(6, 2, 2, element_type="tet4")
+    assert not structured_shardable(km6, 4)
+    bc6 = DirichletBuilder(km6).fix("zmin").prescribe("zmax", "z", 0.05).build()
+    s6 = make_sharded_solver(km6, mat, bc6, options=opts, devices=devs)
+    assert type(s6) is ShardedNewtonSolver
+    # unstructured mesh -> general path
+    um = box_mesh(4, 2, 2, element_type="tet4")
+    bcu = DirichletBuilder(um).fix("zmin").prescribe("zmax", "z", 0.05).build()
+    su = make_sharded_solver(um, mat, bcu, options=opts, devices=devs)
+    assert type(su) is ShardedNewtonSolver
