@@ -45,7 +45,6 @@ import numpy as np
 from fea_large_tpu.mesh.structure import (
     BoxStructure,
     build_box_structure,
-    structure_conn,
 )
 
 

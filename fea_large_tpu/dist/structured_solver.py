@@ -16,7 +16,12 @@ the device mesh (SURVEY.md C19/C20, BASELINE.json:11):
     direction (left plane of shard p == right plane of shard p-1; the
     send buffer is a static class-grid slice, the receive a static
     concat) — no index maps at all;
-  * PCG dot products weight by the ownership mask and `psum`.
+  * PCG dot products weight by the ownership mask and `psum`;
+  * the two-level coarse transfer is LATTICE-BLOCK POOLED
+    (ops/pooling.py): restrict/prolong are per-class reshape-sums /
+    broadcasts at the slab offset — so element kernels, halo exchange,
+    AND the coarse apply are all free of indexed gathers/scatters
+    (round 4; the round-3 build still ran the generic indexed coarse).
 
 Vector convention ("consistent" layout): every local nodal array holds
 the TRUE global value at every local slot, including the shared boundary
@@ -309,33 +314,48 @@ class StructuredShardedSolver(ShardedNewtonSolver):
 
     # ------------------------------------------------------------------
     def _build_coarse_structured(self, put):
-        """Coarse maps in the local class-grid layout (same aggregation /
-        probe plan machinery as the generic path; only the node layout of
-        the per-shard tables differs — halo slots carry their aggregate id
-        too, so the PROLONG is consistent for free; the RESTRICT masks by
-        ownership via `valid`)."""
+        """Coarse space via LATTICE-BLOCK pooling (ops/pooling.py): the
+        aggregate assignment is slab-aligned cell blocks, so the device
+        restrict/prolong are per-class reshape-sums/broadcasts plus one
+        contiguous dynamic slice at the slab offset — no indexed ops,
+        completing the module's no-indexed-ops claim for the coarse apply
+        (round-3 VERDICT item 3). Same probe-plan machinery as the generic
+        path on the SAME aggregate ids; the RESTRICT masks by ownership
+        via `valid`, and the prolong is consistent by construction (both
+        shards sharing a boundary plane read the same block)."""
         sp = self.spart
         S = sp.n_shards
         self.coarse = None
         self._probe = None
         self._probe_ctx = None
         self._n_agg = 0
+        self._lattice_pool = None
         if self.options.preconditioner == "jacobi":
             return
+        from fea_large_tpu.ops.pooling import (
+            global_pool_of,
+            make_sharded_lattice_pool,
+        )
         from fea_large_tpu.solvers.multilevel import (
             _probe_plan,
             _rbm_dvec,
-            aggregate_nodes,
             default_agg_size,
         )
 
         modes = self.options.coarse_modes
         coords = self.mesh.coords_host
         agg_size = self.options.agg_size or default_agg_size(
-            self.mesh.n_nodes, target_coarse=5000 if modes == 3 else 2500
+            self.mesh.n_nodes, target_coarse=5000 if modes == 3 else 2500,
+            structured=True,
         )
-        agg = aggregate_nodes(coords, agg_size)
+        spool = make_sharded_lattice_pool(
+            self.mesh.structure, sp.local,
+            max(1, self.mesh.n_nodes // agg_size),
+        )
+        self._lattice_pool = spool
+        agg = global_pool_of(spool, self.mesh.structure).agg_host()
         n_agg = int(agg.max()) + 1
+        assert n_agg == spool.n_agg
         dvec_np = None
         if modes == 6:
             cnt = np.bincount(agg, minlength=n_agg).astype(float)
@@ -352,18 +372,19 @@ class StructuredShardedSolver(ShardedNewtonSolver):
             self.mesh.conn_host, agg, n_agg, modes, dvec_np
         )
 
-        agg_loc = agg[sp.local_to_global]  # [S, N_loc]
-        perm_loc = np.argsort(agg_loc, axis=1, kind="stable").astype(np.int64)
-        segids = np.take_along_axis(agg_loc, perm_loc, axis=1)
         dvec_loc = (
             dvec_np[sp.local_to_global] if modes == 6 else np.zeros((S, 0, 3))
         )
         from fea_large_tpu.config import INDEX_DTYPE
 
+        # the pooled transfer needs no index maps — 0-extent placeholders
+        # keep the ShardedCoarse pytree structure shared with the generic
+        # path (the host control loop and specs are inherited)
+        z = np.zeros((S, 0), np.int64)
         self.coarse = ShardedCoarse(
-            agg_own=put(agg_loc, INDEX_DTYPE),
-            perm_own=put(perm_loc, INDEX_DTYPE),
-            segids_own=put(segids, INDEX_DTYPE),
+            agg_own=put(z, INDEX_DTYPE),
+            perm_own=put(z, INDEX_DTYPE),
+            segids_own=put(z, INDEX_DTYPE),
             valid=put(sp.own_mask, jnp.float32),
             dvec_own=put(dvec_loc, jnp.float32),
             acinv=jnp.zeros((nc, nc), self._pcg_dtype),
@@ -460,18 +481,20 @@ class StructuredShardedSolver(ShardedNewtonSolver):
                 acinv=coarse.acinv,  # replicated
             )
 
+        pool = self._lattice_pool
+
         def coarse_restrict(coarse, t):
-            rc = jax.ops.segment_sum(
-                t[coarse.perm_own], coarse.segids_own, num_segments=n_agg,
-                indices_are_sorted=True,
-            )
-            return lax.psum(rc, "shard")
+            # lattice-block pooled P^T (ops/pooling.py): per-class reshape-
+            # sums + one slab-offset dynamic_update_slice + psum — the
+            # indexed segment-sum of the generic path, with zero gathers
+            return pool.restrict(t)
 
         def coarse_apply(coarse, r):
-            """Identical arithmetic to the generic coarse_apply; `valid` is
-            the ownership mask here (restrict counts each node once), and
-            the prolong is automatically consistent (aggregate solutions
-            are psum-replicated, halo slots carry their aggregate id)."""
+            """Identical arithmetic to the generic coarse_apply on the SAME
+            aggregate assignment; `valid` is the ownership mask (restrict
+            counts each node once), and the pooled prolong is consistent by
+            construction (both shards sharing a boundary plane read the
+            same block)."""
             modes = coarse.acinv.shape[0] // n_agg
             rp = r * coarse.valid[:, None]
             if modes == 6:
@@ -481,7 +504,7 @@ class StructuredShardedSolver(ShardedNewtonSolver):
             xc = (
                 coarse.acinv @ rc.reshape(-1).astype(coarse.acinv.dtype)
             ).reshape(n_agg, modes).astype(r.dtype)
-            za = xc[coarse.agg_own]
+            za = pool.prolong(xc)
             if modes == 6:
                 return za[:, :3] + jnp.cross(
                     za[:, 3:], coarse.dvec_own.astype(r.dtype)

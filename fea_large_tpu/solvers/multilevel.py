@@ -66,12 +66,16 @@ class CoarseSpace:
     buckets: object | None  # ops.soa.ScatterBuckets over agg ids (or None)
     n_agg: int
     modes: int
+    #: lattice-block pooled transfer (ops/pooling.py, static aux) — set on
+    #: structured meshes: restrict/prolong become per-class reshape-sums/
+    #: broadcasts over the SAME aggregate assignment, zero indexed ops
+    pool: object | None = None
 
     def tree_flatten(self):
         return (
             (self.agg, self.perm, self.segids, self.acinv, self.dvec,
              self.dvec_T, self.buckets),
-            (self.n_agg, self.modes),
+            (self.n_agg, self.modes, self.pool),
         )
 
     @classmethod
@@ -92,6 +96,8 @@ class CoarseSpace:
             t = jnp.concatenate([r, jnp.cross(d, r)], 1)
             if self.modes == 12:
                 t = jnp.concatenate([t, _strain_restrict(d, r)], 1)
+        if self.pool is not None:
+            return self.pool.restrict(t)
         if self.buckets is not None:
             return self.buckets.apply(t.T).T
         return jax.ops.segment_sum(
@@ -102,7 +108,7 @@ class CoarseSpace:
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
         """P xc: [Nc, modes] -> [N, 3] ((P xc)_n = t_A + omega_A x d_n
         [+ S(d_n) eps_A for modes=12])."""
-        za = xc[self.agg]
+        za = self.pool.prolong(xc) if self.pool is not None else xc[self.agg]
         if self.modes >= 6:
             d = self.dvec.astype(xc.dtype)
             out = za[:, :3] + jnp.cross(za[:, 3:6], d)
@@ -214,10 +220,20 @@ def aggregate_nodes(coords: np.ndarray, agg_size: int = 512) -> np.ndarray:
     return agg.astype(np.int64)
 
 
-def default_agg_size(n_nodes: int, target_coarse: int = 5000) -> int:
+def default_agg_size(
+    n_nodes: int, target_coarse: int = 5000, structured: bool = False
+) -> int:
     """Aggregate size targeting ~`target_coarse` aggregates, with the
     target itself scaling as sqrt(N) beyond the 1M-DOF calibration point
     and the aggregate floored at 60 nodes.
+
+    `structured=True` (lattice-block pooled transfer, ops/pooling.py)
+    scales the target by 0.7: the round-4 pooled-coarse sweep at 1M DOF
+    measured agg 200 (Nc 1728, dim 10368) fastest — 0.1765 s/step vs
+    0.1944 at the unstructured-calibrated target (Nc 2592) and 0.2001 at
+    agg 320 — the pooled restrict/prolong are so cheap that the balance
+    point shifts toward a smaller dense coarse apply (BENCH_NOTES.md
+    round 4).
 
     Calibration (BENCH_NOTES.md): at 1M DOF the fixed target balances the
     dense [modes*Nc]^2 coarse apply against the iteration count (finer
@@ -235,6 +251,8 @@ def default_agg_size(n_nodes: int, target_coarse: int = 5000) -> int:
     coarse apply and its inverse build shrink 4x."""
     ref_nodes = 342_361  # the 1M-DOF calibration mesh
     scale = max(1.0, float(n_nodes) / ref_nodes) ** 0.5
+    if structured:
+        scale *= 0.7
     target = int(target_coarse * scale)
     return int(np.clip(n_nodes // target, 60, 4096))
 
@@ -577,13 +595,25 @@ def build_coarse_space(
             " is assembled by on-device probing only — pass soa"
         )
     coords = mesh.coords_host
+    pool = None
+    st = getattr(mesh, "structure", None)
     if agg_size is None:
         agg_size = default_agg_size(
             # match the dense-factor size across bases: modes*Nc ~ 15k
             mesh.n_nodes,
             target_coarse={3: 5000, 6: 2500, 12: 1250}[modes],
+            structured=st is not None,
         )
-    agg = aggregate_nodes(coords, agg_size)
+    if st is not None:
+        # lattice-block aggregation: same coarse-space construction, but
+        # the transfer operators evaluate as per-class reshape-sums /
+        # broadcasts (ops/pooling.py) — no indexed ops in the coarse apply
+        from fea_large_tpu.ops.pooling import make_lattice_pool
+
+        pool = make_lattice_pool(st, max(1, mesh.n_nodes // agg_size))
+        agg = pool.agg_host()
+    else:
+        agg = aggregate_nodes(coords, agg_size)
     n_agg = int(agg.max()) + 1
     perm = np.argsort(agg, kind="stable")
 
@@ -604,9 +634,10 @@ def build_coarse_space(
         )
         dvec_np = _rbm_dvec(coords, agg, cent, n_agg)
         dvec = jnp.asarray(dvec_np, jnp.float32)
-        from fea_large_tpu.ops.soa import ScatterBuckets
+        if pool is None:  # pooled transfer needs no bucket maps
+            from fea_large_tpu.ops.soa import ScatterBuckets
 
-        buckets = ScatterBuckets.build(agg[None, :], n_agg)
+            buckets = ScatterBuckets.build(agg[None, :], n_agg)
     else:
         dvec_np = None
     if soa is not None:
@@ -670,6 +701,7 @@ def build_coarse_space(
         buckets=buckets,
         n_agg=n_agg,
         modes=modes,
+        pool=pool,
     )
 
 

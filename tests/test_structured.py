@@ -123,14 +123,21 @@ def test_structured_element_ops_match(etype):
 
 def test_structured_solve_matches_general():
     """Full mixed-precision two-level solve on the Kuhn mesh, structured
-    vs general path: same converged displacements (1e-8 of each other —
-    both converge the same f64 Newton residual)."""
+    vs general path: same converged displacements.
+
+    Since round 4 the structured path builds a DIFFERENT (lattice-block
+    pooled) coarse space than the generic coordinate-binned one, so the
+    two solves follow different inexact-Newton trajectories toward the
+    same fixed point — agreement is bounded by the newton_rtol=1e-8
+    residual contract (measured 1.4e-7 relative u), not by arithmetic
+    identity as in rounds 1-3. The trajectory-identical comparison lives
+    in the jacobi run below (same preconditioner on both paths)."""
     from fea_large_tpu.solvers.newton import NewtonSolver, SolverOptions
 
     mesh = box_mesh_kuhn(4, 4, 4, element_type="tet10")
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
 
-    def solve(m):
+    def solve(m, precond):
         bc = (
             DirichletBuilder(m)
             .fix("zmin")
@@ -140,7 +147,7 @@ def test_structured_solve_matches_general():
         s = NewtonSolver(
             m, mat, bc,
             options=SolverOptions(
-                linear="pcg", precision="mixed", preconditioner="two_level",
+                linear="pcg", precision="mixed", preconditioner=precond,
                 coarse_modes=6, forcing="ew", ew_eta_min=1e-2,
                 newton_rtol=1e-8, pcg_tol=1e-6, pcg_maxiter=2000,
             ),
@@ -149,10 +156,16 @@ def test_structured_solve_matches_general():
         assert res.converged
         return np.asarray(res.u)
 
-    u_s = solve(mesh)
-    u_g = solve(_strip_structure(mesh))
+    u_s = solve(mesh, "two_level")
+    u_g = solve(_strip_structure(mesh), "two_level")
     err = np.linalg.norm(u_s - u_g) / np.linalg.norm(u_g)
-    assert err < 1e-8, err
+    assert err < 1e-6, err
+    # jacobi: identical preconditioner on both paths -> same trajectory,
+    # tight agreement (the round-1-3 form of this test)
+    u_sj = solve(mesh, "jacobi")
+    u_gj = solve(_strip_structure(mesh), "jacobi")
+    errj = np.linalg.norm(u_sj - u_gj) / np.linalg.norm(u_gj)
+    assert errj < 1e-8, errj
 
 
 def test_structured_oracle_parity():
