@@ -185,6 +185,10 @@ class ShardedNewtonSolver:
     identical; the jitted programs are `shard_map`-ped with halo
     collectives."""
 
+    #: count of two-level -> jacobi preconditioner fallbacks taken (see
+    #: `_newton`); observability hook for tests and run records
+    precond_fallbacks: int = 0
+
     def __init__(
         self,
         mesh: Mesh,
@@ -956,6 +960,15 @@ class ShardedNewtonSolver:
         stop_n = None
         eta = 0.5  # Eisenstat-Walker initial forcing
         prev_norm = 1.0
+        # two-level -> jacobi fallback (SURVEY.md §7.3): on near-critical
+        # states the RBM coarse can aim the preconditioner at a negative
+        # tangent direction and break CG down where plain block-Jacobi
+        # still converges (measured, VERDICT r03: jacobi 215 iters vs
+        # two-level breakdown on the 16x2x2 buckling beam). `coarse` is
+        # swapped for a zero-acinv copy — the SAME compiled programs then
+        # apply a pure-Jacobi preconditioner (the coarse term is exactly
+        # zero), so the fallback costs no recompile.
+        coarse = self.coarse
         x_prev = jnp.zeros(
             (self.part.n_shards, self.part.n_owned, 3), self._pcg_dtype
         )
@@ -965,7 +978,7 @@ class ShardedNewtonSolver:
             )
             u_new, st0, state, inv_blocks, r64, norm_a, eta_a, tol_a = (
                 self._newton_iter(
-                    self.data, self.soa, self.coarse, u, x_prev, scale_arr,
+                    self.data, self.soa, coarse, u, x_prev, scale_arr,
                     jnp.asarray(prev_norm, jnp.float64),
                     jnp.asarray(norm0 or 1.0, jnp.float64),
                     jnp.asarray(eta, jnp.float64),
@@ -999,19 +1012,19 @@ class ShardedNewtonSolver:
             eta = float(eta_v)
             cell = {"state": state, "inv_blocks": inv_blocks}
 
-            def prepare(x0, _u=u, _tol=float(tol_v)):
+            def prepare(x0, _u=u, _tol=float(tol_v), _coarse=coarse):
                 if x0 is None:
                     return st0
                 tol = jnp.asarray(_tol, self._pcg_dtype)
                 st, cell["state"], cell["inv_blocks"] = self._prepare(
-                    self.data, self.soa, self.coarse, _u, scale_arr, tol,
+                    self.data, self.soa, _coarse, _u, scale_arr, tol,
                     x0.astype(DTYPE),
                 )
                 return st
 
-            def chunk(st, n):
+            def chunk(st, n, _coarse=coarse):
                 return self._chunk(
-                    self.data, self.soa, self.coarse, st, cell["state"],
+                    self.data, self.soa, _coarse, st, cell["state"],
                     cell["inv_blocks"], jnp.int32(n),
                 )
 
@@ -1025,7 +1038,44 @@ class ShardedNewtonSolver:
             # see solvers/newton.py: accept a stagnated PCG step that made
             # substantial progress (inexact Newton); an early breakdown at
             # rel ~ O(1) aborts the increment -> bisection
-            if not (bool(lin_ok) or float(lin_rel) <= 1e-3):
+            accepted = bool(lin_ok) or float(lin_rel) <= 1e-3
+            if not bool(lin_ok) and coarse is not None and coarse is self.coarse:
+                # first two-level CG breakdown this increment: switch to
+                # the jacobi-only fallback (zero-acinv coarse; see above)
+                # for the REST of the increment; when the broken-down
+                # direction was not even acceptable, retry THIS solve under
+                # the fallback before giving up to bisection
+                coarse = self.coarse._replace(
+                    acinv=jnp.zeros_like(self.coarse.acinv)
+                )
+                self.precond_fallbacks += 1
+                if not accepted:
+
+                    def prepare_fb(x0, _u=u, _tol=float(tol_v), _c=coarse):
+                        tol = jnp.asarray(_tol, self._pcg_dtype)
+                        xx = (
+                            jnp.zeros_like(_u).astype(DTYPE)
+                            if x0 is None
+                            else x0.astype(DTYPE)
+                        )
+                        st, cell["state"], cell["inv_blocks"] = self._prepare(
+                            self.data, self.soa, _c, _u, scale_arr, tol, xx
+                        )
+                        return st
+
+                    x, fb_iters, lin_ok, lin_rel = drive_chunked_pcg(
+                        prepare_fb,
+                        lambda st, n, _c=coarse: self._chunk(
+                            self.data, self.soa, _c, st, cell["state"],
+                            cell["inv_blocks"], jnp.int32(n),
+                        ),
+                        tol=float(tol_v), chunk_iters=opts.pcg_chunk,
+                        maxiter=opts.pcg_maxiter,
+                    )
+                    pcg_iters[-1] += int(fb_iters)
+                    x_prev = x
+                    accepted = bool(lin_ok) or float(lin_rel) <= 1e-3
+            if not accepted:
                 break
         rec = IncrementRecord(
             float(scale), len(norms), norms, pcg_iters, time.perf_counter() - t0
