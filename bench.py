@@ -103,7 +103,11 @@ def main():
         precond = "jacobi"
     if os.environ.get("FEA_BENCH_AGG"):
         agg_size = int(os.environ["FEA_BENCH_AGG"])
-    elif 500_000 <= target_dof <= 2_000_000 and precond == "two_level":
+    elif (
+        500_000 <= target_dof <= 2_000_000
+        and precond == "two_level"
+        and variant == "5tet"
+    ):
         # (bounded range: agg 100 at e.g. 4M DOF would give a dim-55k
         # dense inverse — far past any feasible build; larger sizes keep
         # the sqrt(N)-scaled default policy)
