@@ -487,9 +487,17 @@ def _gather_flat(p, v_T, npe):
 
 def soa_freeze_pallas(p, material, u_T, block_e: int = 512):
     """Drop-in Pallas variant of `ops.soa.soa_freeze` (same gather, fused
-    kinematics + constitutive update in one VMEM-resident kernel)."""
-    from fea_large_tpu.ops.soa import SoAState
+    kinematics + constitutive update in one VMEM-resident kernel).
 
+    Structured-uniform meshes keep the XLA freeze: this kernel's
+    `_full_tables` would materialize the [q*npe*3, E] gradient broadcast
+    (~123 MB at 1M DOF) that the slot-compressed XLA path never forms,
+    and the freeze is a per-Newton-iteration cost, not per-CG-iteration
+    (the fused structured matvec is where the win is)."""
+    from fea_large_tpu.ops.soa import SoAState, soa_freeze
+
+    if p.structure is not None and p.gradN.shape[-1] == p.structure.n_tets:
+        return soa_freeze(p, material, u_T)
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
     gradN, _ = _full_tables(p)
     E = gradN.shape[-1]
@@ -528,9 +536,18 @@ def soa_internal_force_pallas(p, state, block_e: int = 512):
 
 def soa_apply_tangent_pallas(p, state, v_T, block_e: int = 512):
     """Drop-in Pallas variant of `ops.soa.soa_apply_tangent` (same gather /
-    scatter, Pallas element math)."""
+    scatter, Pallas element math). Structured-lattice meshes route to the
+    FUSED kernel (ops/pallas_structured.py): static-slice gather, one
+    elementwise kernel over cell blocks with baked geometry constants,
+    pad-add scatter — measured 4.7x the XLA slice/pad graph at 1M DOF."""
+    from fea_large_tpu.ops.pallas_structured import (
+        soa_apply_tangent_struct_pallas,
+        struct_pallas_supported,
+    )
     from fea_large_tpu.ops.soa import soa_scatter
 
+    if struct_pallas_supported(p):
+        return soa_apply_tangent_struct_pallas(p, state, v_T)
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
     gradN, detJxW = _full_tables(p)
     E = gradN.shape[-1]

@@ -253,18 +253,23 @@ class SoAProblem:
     #: on the class grids — no indexed ops at all (the structured fast path;
     #: supersedes both conn_T gathers and the valence buckets on this mesh).
     structure: object | None = None
+    #: structured-uniform only: the slot-compressed geometry tables as
+    #: nested tuples of Python floats (static AUX — hashable). The fused
+    #: structured Pallas kernel (ops/pallas_structured.py) bakes these as
+    #: compile-time constants, eliminating the [q*npe*3, E] broadcast
+    #: table traffic entirely; None on unstructured meshes.
+    tables_host: tuple | None = None
 
     def tree_flatten(self):
         return (
             (self.gradN, self.detJxW, self.conn_T, self.perm_T, self.segids_T,
              self.buckets),
-            (self.n_nodes, self.structure),
+            (self.n_nodes, self.structure, self.tables_host),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        n_nodes, structure = aux
-        return cls(*children, n_nodes, structure)
+        return cls(*children, *aux)
 
     @staticmethod
     def build(mesh, dtype=jnp.float32, share_maps_from: "SoAProblem | None" = None
@@ -274,6 +279,7 @@ class SoAProblem:
         (they are dtype-independent)."""
         elem = mesh.element
         coords, conn = mesh.coords_host, mesh.conn_host
+        tables_host = None
         dN = np.asarray(elem.shape_grad)  # [q, npe, 3]
         w = np.asarray(elem.quad_weights)
         Xe = coords[conn]
@@ -301,6 +307,12 @@ class SoAProblem:
             ):
                 gradN_T = np.ascontiguousarray(g_slot[..., 0])
                 detJxW_T = np.ascontiguousarray(v_slot[..., 0])
+                # static host copy for the fused structured Pallas kernel
+                # (q*npe*3*T + q*T floats — tiny, hashable aux)
+                tables_host = (
+                    _np_to_tuple(gradN_T.astype(np.float64)),
+                    _np_to_tuple(detJxW_T.astype(np.float64)),
+                )
         if share_maps_from is not None:
             s = share_maps_from
             conn_T, perm_T, segids_T, buckets = (
@@ -329,7 +341,15 @@ class SoAProblem:
             buckets=buckets,
             n_nodes=int(mesh.n_nodes),
             structure=structure,
+            tables_host=tables_host,
         )
+
+
+def _np_to_tuple(a):
+    """numpy -> nested tuples of Python floats (hashable static aux)."""
+    if a.ndim == 0:
+        return float(a)
+    return tuple(_np_to_tuple(x) for x in a)
 
 
 def _slot_tables(p: SoAProblem, k: int):

@@ -665,6 +665,20 @@ class NewtonSolver:
             self._soa64 = SoAProblem.build(
                 mesh, jnp.float64, share_maps_from=self._soa
             )
+            # structured-lattice meshes default the f32 tangent action to
+            # the FUSED Pallas kernel on the TPU (measured 4.66 -> 0.99
+            # ms/matvec at 1M DOF, round 4 — ops/pallas_structured.py);
+            # the XLA slice/pad graph fragments into ~155 fusions. Off-TPU
+            # the kernel only exists in (slow) interpret mode, so the XLA
+            # path remains the default there and `pallas=True` opts in.
+            from fea_large_tpu.config import on_tpu
+            from fea_large_tpu.ops.pallas_structured import (
+                struct_pallas_supported,
+            )
+
+            self._pallas = self.options.pallas or (
+                on_tpu() and struct_pallas_supported(self._soa)
+            )
             self._material32 = jax.tree.map(
                 lambda x: x.astype(jnp.float32), material
             )
@@ -754,7 +768,7 @@ class NewtonSolver:
             st, cell["state"], cell["inv_blocks"] = _mixed_prepare_jit(
                 u, scale, self._soa64, self._soa, self.material,
                 self._material32, self.bc, self.f_ext, tol,
-                self._coarse, x0, use_pallas=self.options.pallas,
+                self._coarse, x0, use_pallas=self._pallas,
                 r64=r64,  # u unchanged within the step: stays valid
             )
             return st
@@ -762,7 +776,7 @@ class NewtonSolver:
         def chunk(st, n):
             return _mixed_chunk_jit(
                 st, self._soa, cell["state"], cell["inv_blocks"], free32,
-                self._coarse, jnp.int32(n), use_pallas=self.options.pallas,
+                self._coarse, jnp.int32(n), use_pallas=self._pallas,
             )
 
         x, total, converged, rel = drive_chunked_pcg(
@@ -781,11 +795,11 @@ class NewtonSolver:
             st, state, inv_blocks = _mixed_prepare_fn(
                 u, scale, self._soa64, self._soa, self.material,
                 self._material32, self.bc, self.f_ext, self._pcg_tol32,
-                self._coarse, use_pallas=self.options.pallas,
+                self._coarse, use_pallas=self._pallas,
             )
             st = _mixed_chunk_fn(
                 st, self._soa, state, inv_blocks, free32, self._coarse,
-                self.options.pcg_chunk, use_pallas=self.options.pallas,
+                self.options.pcg_chunk, use_pallas=self._pallas,
             )
             return u + st.x.astype(u.dtype), st.k, st.ok, jnp.sqrt(st.rr)
         return self._step(u, scale)
@@ -823,7 +837,7 @@ class NewtonSolver:
                 jnp.asarray(budget, jnp.int32),
                 self._soa64, self._soa, self.material, self._material32,
                 self.bc, self.f_ext, self._coarse,
-                max_newton=opts.max_newton, use_pallas=opts.pallas,
+                max_newton=opts.max_newton, use_pallas=self._pallas,
                 use_ew=use_ew,
             )
             u_d = out[0]
@@ -884,7 +898,7 @@ class NewtonSolver:
                     self._soa64, self._soa, self.material, self._material32,
                     self.bc, self.f_ext, self._coarse,
                     chunk_iters=min(opts.pcg_chunk, opts.pcg_maxiter),
-                    use_pallas=opts.pallas,
+                    use_pallas=self._pallas,
                     use_ew=use_ew, resid32=resid32,
                 )
             )
@@ -926,7 +940,7 @@ class NewtonSolver:
                     _u, scale, self._soa64, self._soa, self.material,
                     self._material32, self.bc, self.f_ext,
                     jnp.asarray(_tol, jnp.float32), self._coarse, x0,
-                    use_pallas=opts.pallas, r64=_b,
+                    use_pallas=self._pallas, r64=_b,
                 )
                 return st
 
@@ -934,7 +948,7 @@ class NewtonSolver:
                 return _mixed_chunk_jit(
                     st, self._soa, cell["state"], cell["inv_blocks"],
                     free32, self._coarse, jnp.int32(n),
-                    use_pallas=opts.pallas,
+                    use_pallas=self._pallas,
                 )
 
             x, lin_iters, lin_ok, lin_rel = drive_chunked_pcg(
