@@ -27,6 +27,10 @@ from fea_large_tpu.ops.soa import (
     soa_freeze,
     soa_internal_force,
 )
+from fea_large_tpu.ops.pallas_structured import (
+    soa_apply_tangent_struct_pallas as _struct_pallas,
+    struct_pallas_supported as _struct_ok,
+)
 from fea_large_tpu.solvers.linear import apply_block_jacobi, jacobi_inverse_blocks
 
 
@@ -87,6 +91,20 @@ def main(n=16):
         ),
         "matvec_f32": loop_time(
             lambda v: dep(v, soa_apply_tangent(soa32, state, v.T)), v0
+        ),
+        # the fused structured Pallas kernel when the mesh supports it
+        # (ops/pallas_structured.py — the round-4 TPU default)
+        **(
+            {
+                "matvec_pallas_fused": loop_time(
+                    lambda v: dep(
+                        v, _struct_pallas(soa32, state, v.T)
+                    ),
+                    v0,
+                )
+            }
+            if _struct_ok(soa32)
+            else {}
         ),
         "jacobi_apply": loop_time(
             lambda v: dep(v, apply_block_jacobi(inv_blocks, free32, v)), v0

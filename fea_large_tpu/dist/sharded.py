@@ -774,6 +774,7 @@ class ShardedNewtonSolver:
             _assemble_dense_coarse,
             _invert_factor,
             _ridge_and_factor,
+            _store_acinv,
         )
 
         ctx = self._probe_ctx
@@ -786,7 +787,10 @@ class ShardedNewtonSolver:
             nc=ctx["nc"],
         )
         self.coarse = self.coarse._replace(
-            acinv=jax.jit(lambda a: _invert_factor(_ridge_and_factor(a)))(Ac)
+            acinv=_store_acinv(
+                jax.jit(lambda a: _invert_factor(_ridge_and_factor(a)))(Ac),
+                self._pcg_dtype,
+            )
         )
         self._probe_ctx = {
             k: v for k, v in ctx.items() if k in ("agg", "dvec", "modes")

@@ -554,6 +554,22 @@ def _invert_factor(chol, block: int = 2048):
     return jnp.matmul(linv.T, linv, precision=jax.lax.Precision.HIGHEST)
 
 
+def _store_acinv(acinv, dtype):
+    """Storage precision of the explicit coarse inverse. On the TPU f32
+    path it is held in bf16: the apply is bandwidth-bound (dim^2 * 4B
+    streamed per CG iteration — 430 MB at the 1M-DOF headline dim 10368)
+    and the inverse is a PRECONDITIONER, so bf16 rounding (rel ~4e-3 on a
+    symmetric matrix, symmetry preserved elementwise) perturbs M, never
+    the CG fixed point. Measured at 1M DOF (round 4): IDENTICAL EW
+    iteration trajectory, 0.0839 -> 0.0775 s/step. The f64 parity path
+    and CPU backends keep full precision."""
+    from fea_large_tpu.config import on_tpu
+
+    if acinv.dtype == jnp.float32 and dtype == jnp.float32 and on_tpu():
+        return acinv.astype(jnp.bfloat16)
+    return acinv
+
+
 def build_coarse_space(
     mesh,
     material,
@@ -695,7 +711,7 @@ def build_coarse_space(
         agg=jnp.asarray(agg, INDEX_DTYPE),
         perm=jnp.asarray(perm, INDEX_DTYPE),
         segids=jnp.asarray(agg[perm], INDEX_DTYPE),
-        acinv=acinv,
+        acinv=_store_acinv(acinv, dtype),
         dvec=dvec,
         dvec_T=None if dvec_np is None else jnp.asarray(dvec_np.T, jnp.float32),
         buckets=buckets,
