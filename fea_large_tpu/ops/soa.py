@@ -553,8 +553,34 @@ def _soa_material(material: Material, C, dtype):
     )
 
 
+def _struct_fused(p: SoAProblem) -> bool:
+    """True when the f32 element passes should run as the FUSED structured
+    Pallas kernels (ops/pallas_structured.py) — TPU + uniform lattice.
+    The XLA slice/pad graphs fragment into 100+ fusions that materialize
+    gigabytes of [E] intermediates per pass (measured round 4: 6.75 GB
+    per tangent matvec, 4.66 -> 0.99 ms fused); off-TPU the kernels only
+    exist in slow interpret mode, so the XLA path stays."""
+    if p.gradN.dtype != jnp.float32:
+        return False
+    from fea_large_tpu.config import on_tpu
+
+    if not on_tpu():
+        return False
+    from fea_large_tpu.ops.pallas_structured import struct_pallas_supported
+
+    return struct_pallas_supported(p)
+
+
 def soa_freeze(p: SoAProblem, material: Material, u_T: jnp.ndarray) -> SoAState:
     """Evaluate kinematics + constitutive state once per Newton iterate."""
+    if _struct_fused(p) and isinstance(
+        material, (StVenantKirchhoff, NeoHookean, NeoHookeanVolumetric)
+    ):
+        from fea_large_tpu.ops.pallas_structured import (
+            soa_freeze_struct_pallas,
+        )
+
+        return soa_freeze_struct_pallas(p, material, u_T)
     dtype = p.gradN.dtype
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
     ue = soa_gather(p, u_T)
@@ -584,6 +610,12 @@ def soa_freeze(p: SoAProblem, material: Material, u_T: jnp.ndarray) -> SoAState:
 
 def soa_internal_force(p: SoAProblem, state: SoAState) -> jnp.ndarray:
     """f_int [3, N] from the frozen state: fe[a,i] = sum_q V (F S)_iJ g_a[J]."""
+    if _struct_fused(p):
+        from fea_large_tpu.ops.pallas_structured import (
+            soa_internal_force_struct_pallas,
+        )
+
+        return soa_internal_force_struct_pallas(p, state)
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
     fe = [[0.0] * npe for _ in range(3)]
     for k in range(q):
@@ -643,6 +675,12 @@ def soa_diag_blocks(p: SoAProblem, state: SoAState) -> jnp.ndarray:
     diag[a,i,k] = sum_q V [(alpha + beta/2) s_ai s_ak + beta/2 B_ik G_aa]
                 + sum_q V (g_a.S.g_a) delta_ik.
     """
+    if _struct_fused(p):
+        from fea_large_tpu.ops.pallas_structured import (
+            soa_diag_blocks_struct_pallas,
+        )
+
+        return soa_diag_blocks_struct_pallas(p, state)
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
     acc = [[[0.0] * npe for _ in range(3)] for _ in range(3)]  # [i][k][a]
     for kq in range(q):

@@ -98,6 +98,66 @@ def test_unsupported_small_lattice_falls_back():
     np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
 
 
+def test_struct_pallas_force_diag_freeze_match_xla():
+    """The fused force / diag-blocks / freeze kernels against their XLA
+    mirrors (these are TPU defaults via ops.soa._struct_fused; off-TPU
+    they run here in interpret mode)."""
+    from fea_large_tpu.mesh.generators import box_mesh_kuhn as _box
+    from fea_large_tpu.ops.pallas_structured import (
+        soa_diag_blocks_struct_pallas,
+        soa_freeze_struct_pallas,
+        soa_internal_force_struct_pallas,
+    )
+    from fea_large_tpu.ops.soa import soa_diag_blocks, soa_internal_force
+
+    p, state, v = _smooth_problem((8, 4, 4))
+    mat = NeoHookean(jnp.asarray(1.0, jnp.float32), jnp.asarray(0.6, jnp.float32))
+
+    f_ref = np.asarray(jax.jit(lambda s: soa_internal_force(p, s))(state))
+    f_pal = np.asarray(soa_internal_force_struct_pallas(p, state))
+    np.testing.assert_allclose(f_pal, f_ref, rtol=2e-5, atol=2e-5)
+
+    d_ref = np.asarray(jax.jit(lambda s: soa_diag_blocks(p, s))(state))
+    d_pal = np.asarray(soa_diag_blocks_struct_pallas(p, state))
+    np.testing.assert_allclose(d_pal, d_ref, rtol=2e-5, atol=2e-5)
+
+    mesh = _box(8, 4, 4, element_type="tet10")
+    coords = np.asarray(mesh.coords_host).T
+    u = np.zeros((3, mesh.n_nodes))
+    u[2] = -0.05 * coords[2]
+    u = jnp.asarray(u, jnp.float32)
+    st_ref = jax.jit(lambda uu: soa_freeze(p, mat, uu))(u)
+    st_pal = soa_freeze_struct_pallas(p, mat, u)
+    for name, a, b in zip(st_ref._fields, st_ref, st_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-5, atol=2e-5,
+            err_msg=name,
+        )
+
+
+def test_struct_pallas_freeze_svk_and_volumetric():
+    """Material-kind branches 0 (SVK) and 2 (volumetric NH) of the fused
+    freeze kernel."""
+    from fea_large_tpu.materials.neo_hookean import NeoHookeanVolumetric
+    from fea_large_tpu.materials.svk import StVenantKirchhoff
+    from fea_large_tpu.ops.pallas_structured import soa_freeze_struct_pallas
+
+    p, state, v = _smooth_problem((8, 4, 4))
+    mesh_n = p.n_nodes
+    rngless_u = jnp.zeros((3, mesh_n), jnp.float32).at[2].set(-0.03)
+    for mat in (
+        StVenantKirchhoff(jnp.asarray(1.0, jnp.float32), jnp.asarray(0.6, jnp.float32)),
+        NeoHookeanVolumetric(jnp.asarray(1.0, jnp.float32), jnp.asarray(0.6, jnp.float32)),
+    ):
+        st_ref = jax.jit(lambda uu, m=mat: soa_freeze(p, m, uu))(rngless_u)
+        st_pal = soa_freeze_struct_pallas(p, mat, rngless_u)
+        for name, a, b in zip(st_ref._fields, st_ref, st_pal):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-5, atol=2e-5,
+                err_msg=f"{type(mat).__name__}.{name}",
+            )
+
+
 def test_pair_index_covers_all_slots():
     from fea_large_tpu.mesh.structure import build_box_structure
 
