@@ -141,31 +141,38 @@ class LatticePool:
 
     def restrict(self, v: jnp.ndarray) -> jnp.ndarray:
         """[N, C] -> [n_agg, C]: per-class pooled block sums, summed over
-        classes (all classes share the one block grid)."""
+        classes (all classes share the one block grid).
+
+        Internally CHANNEL-FIRST: a class grid with the channel dim
+        trailing tiles as (gz, C) -> (8, 128) lanes — ~24x padding at
+        C=6 — while [C, gx, gy, gz] tiles (gy, gz) at ~3.7x (round 4;
+        the two cheap [N, C] transposes replace that amplification on
+        every pooling stage). Same per-axis summation order."""
         st = self.structure
+        vT = v.T
         out = None
         for k in range(len(st.classes)):
             gx, gy, gz = st.class_dims[k]
             b0 = st.class_base[k]
-            g = v[b0 : b0 + gx * gy * gz].reshape(gx, gy, gz, -1)
+            g = vT[:, b0 : b0 + gx * gy * gz].reshape(-1, gx, gy, gz)
             for ax in range(3):
-                g = _pool_axis(g, ax, self.block[ax], self.nb[ax])
+                g = _pool_axis(g, ax + 1, self.block[ax], self.nb[ax])
             out = g if out is None else out + g
-        return out.reshape(self.n_agg, -1)
+        return out.reshape(out.shape[0], self.n_agg).T
 
     def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
         """[n_agg, C] -> [N, C]: each node reads its block's value (the
-        exact transpose of `restrict`)."""
+        exact transpose of `restrict`); channel-first internally."""
         st = self.structure
-        wg = w.reshape(*self.nb, -1)
+        wg = w.T.reshape(-1, *self.nb)
         parts = []
         for k in range(len(st.classes)):
             dims = st.class_dims[k]
             g = wg
             for ax in range(3):
-                g = _unpool_axis(g, ax, self.block[ax], dims[ax])
-            parts.append(g.reshape(dims[0] * dims[1] * dims[2], -1))
-        return jnp.concatenate(parts, axis=0)
+                g = _unpool_axis(g, ax + 1, self.block[ax], dims[ax])
+            parts.append(g.reshape(g.shape[0], -1))
+        return jnp.concatenate(parts, axis=1).T
 
 
 def _best_block(cells, target_agg: int, bx_choices=None) -> tuple:
@@ -231,45 +238,54 @@ class ShardedLatticePool:
 
     def restrict(self, v: jnp.ndarray, axis_name: str = "shard") -> jnp.ndarray:
         """Owner-masked local field [N_loc, C] -> psum-replicated
-        [n_agg, C]. Caller masks v by ownership first."""
+        [n_agg, C]. Caller masks v by ownership first. Channel-first
+        internally (see LatticePool.restrict — trailing-channel class
+        grids tile at ~24x lane padding)."""
         st = self.local
         nb = self._local_nb()
+        vT = v.T
         out = None
         for k in range(len(st.classes)):
             gx, gy, gz = st.class_dims[k]
             b0 = st.class_base[k]
-            g = v[b0 : b0 + gx * gy * gz].reshape(gx, gy, gz, -1)
+            g = vT[:, b0 : b0 + gx * gy * gz].reshape(-1, gx, gy, gz)
             for ax in range(3):
-                g = _pool_axis(g, ax, self.block[ax], nb[ax])
+                g = _pool_axis(g, ax + 1, self.block[ax], nb[ax])
             out = g if out is None else out + g
         NBx = self.nb_global[0]
         p = lax.axis_index(axis_name)
-        buf = jnp.zeros((NBx + 1,) + out.shape[1:], out.dtype)
+        buf = jnp.zeros(
+            (out.shape[0], NBx + 1) + out.shape[2:], out.dtype
+        )
         zero = jnp.zeros((), p.dtype)
         buf = lax.dynamic_update_slice(
-            buf, out, (p * self.nbl,) + (zero,) * (out.ndim - 1)
+            buf, out, (zero, p * self.nbl) + (zero,) * (out.ndim - 2)
         )
         buf = lax.psum(buf, axis_name)
         # fold the global clamp: block NBx only receives the final shard's
         # trailing boundary plane, which belongs to block NBx-1
         rc = jnp.concatenate(
-            [buf[: NBx - 1], buf[NBx - 1 : NBx] + buf[NBx:]], axis=0
+            [
+                buf[:, : NBx - 1],
+                buf[:, NBx - 1 : NBx] + buf[:, NBx:],
+            ],
+            axis=1,
         )
-        return rc.reshape(self.n_agg, -1)
+        return rc.reshape(rc.shape[0], self.n_agg).T
 
     def prolong(self, w: jnp.ndarray, axis_name: str = "shard") -> jnp.ndarray:
         """Replicated [n_agg, C] -> local consistent field [N_loc, C]."""
         NBx, NBy, NBz = self.nb_global
-        wg = w.reshape(NBx, NBy, NBz, -1)
+        wg = w.T.reshape(-1, NBx, NBy, NBz)
         # duplicate the last x-block: the final shard's overflow slot reads
         # it (the global clamp, transpose of the fold above)
-        wg = jnp.concatenate([wg, wg[NBx - 1 : NBx]], axis=0)
+        wg = jnp.concatenate([wg, wg[:, NBx - 1 : NBx]], axis=1)
         p = lax.axis_index(axis_name)
         zero = jnp.zeros((), p.dtype)
         loc = lax.dynamic_slice(
             wg,
-            (p * self.nbl, zero, zero, zero),
-            (self.nbl + 1, NBy, NBz, wg.shape[-1]),
+            (zero, p * self.nbl, zero, zero),
+            (wg.shape[0], self.nbl + 1, NBy, NBz),
         )
         st = self.local
         parts = []
@@ -277,9 +293,9 @@ class ShardedLatticePool:
             dims = st.class_dims[k]
             g = loc
             for ax in range(3):
-                g = _unpool_axis(g, ax, self.block[ax], dims[ax])
-            parts.append(g.reshape(dims[0] * dims[1] * dims[2], -1))
-        return jnp.concatenate(parts, axis=0)
+                g = _unpool_axis(g, ax + 1, self.block[ax], dims[ax])
+            parts.append(g.reshape(g.shape[0], -1))
+        return jnp.concatenate(parts, axis=1).T
 
 
 def make_sharded_lattice_pool(

@@ -228,12 +228,12 @@ def default_agg_size(
     and the aggregate floored at 60 nodes.
 
     `structured=True` (lattice-block pooled transfer, ops/pooling.py)
-    scales the target by 0.7: the round-4 pooled-coarse sweep at 1M DOF
-    measured agg 200 (Nc 1728, dim 10368) fastest — 0.1765 s/step vs
-    0.1944 at the unstructured-calibrated target (Nc 2592) and 0.2001 at
-    agg 320 — the pooled restrict/prolong are so cheap that the balance
-    point shifts toward a smaller dense coarse apply (BENCH_NOTES.md
-    round 4).
+    scales the target by 0.56: every time the iteration got cheaper the
+    optimum moved toward a smaller dense coarse (BENCH_NOTES round 4 —
+    with the pooled transfer alone agg 200 won at 0.1765 s/step; with
+    the fused Pallas element kernels agg 250 wins: 0.0611 vs 0.0640 at
+    agg 200 and 0.0722 at agg 320, 1M DOF), because the coarse apply's
+    dim^2 stream is now the largest per-iteration term.
 
     Calibration (BENCH_NOTES.md): at 1M DOF the fixed target balances the
     dense [modes*Nc]^2 coarse apply against the iteration count (finer
@@ -252,7 +252,7 @@ def default_agg_size(
     ref_nodes = 342_361  # the 1M-DOF calibration mesh
     scale = max(1.0, float(n_nodes) / ref_nodes) ** 0.5
     if structured:
-        scale *= 0.7
+        scale *= 0.56
     target = int(target_coarse * scale)
     return int(np.clip(n_nodes // target, 60, 4096))
 
