@@ -489,11 +489,12 @@ def soa_freeze_pallas(p, material, u_T, block_e: int = 512):
     """Drop-in Pallas variant of `ops.soa.soa_freeze` (same gather, fused
     kinematics + constitutive update in one VMEM-resident kernel).
 
-    Structured-uniform meshes keep the XLA freeze: this kernel's
-    `_full_tables` would materialize the [q*npe*3, E] gradient broadcast
-    (~123 MB at 1M DOF) that the slot-compressed XLA path never forms,
-    and the freeze is a per-Newton-iteration cost, not per-CG-iteration
-    (the fused structured matvec is where the win is)."""
+    Structured-uniform meshes delegate to `soa_freeze`, which on TPU
+    resolves to the FUSED structured Pallas freeze
+    (ops/pallas_structured.soa_freeze_struct_pallas) and to the XLA
+    slot-compressed path elsewhere — this kernel's `_full_tables` would
+    materialize the [q*npe*3, E] gradient broadcast (~123 MB at 1M DOF)
+    that both structured routes avoid."""
     from fea_large_tpu.ops.soa import SoAState, soa_freeze
 
     if p.structure is not None and p.gradN.shape[-1] == p.structure.n_tets:
@@ -546,7 +547,9 @@ def soa_apply_tangent_pallas(p, state, v_T, block_e: int = 512):
     )
     from fea_large_tpu.ops.soa import soa_scatter
 
-    if struct_pallas_supported(p):
+    # dtype gate mirrors ops.soa._struct_fused: the structured kernel's
+    # contract is f32 — an f64 SoAProblem must not be routed into it
+    if struct_pallas_supported(p) and p.gradN.dtype == jnp.float32:
         return soa_apply_tangent_struct_pallas(p, state, v_T)
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
     gradN, detJxW = _full_tables(p)

@@ -505,6 +505,12 @@ def _soa_material(material: Material, C, dtype):
 
     The SoA mirror of `Material.pk2_and_state` + `iso_tangent_factors` for
     the registered isotropic materials (SURVEY.md C6/C7).
+
+    NOTE: the fused structured TPU kernels re-express these same laws in
+    scalar form (`ops/pallas_structured._freeze_kernel`, and the
+    double-word residual in `ops/pallas_residual.py`); a material-law
+    change here MUST be mirrored there (cross-pinned by
+    tests/test_pallas_structured.py equivalence tests).
     """
     lam = material.lam.astype(dtype)
     mu = material.mu.astype(dtype)
