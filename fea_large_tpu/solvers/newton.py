@@ -125,6 +125,16 @@ class SolverOptions:
     #: sized so one call stays well under the backend execution limit,
     #: ~2.3e8 element-iterations ≈ 60 s).
     device_loop_budget: int | None = None
+    #: in-increment Newton residuals via the DOUBLE-WORD f32 fused Pallas
+    #: element pass (ops/pallas_residual.py; ~1e-13 relative agreement
+    #: with the f64 pass, measured) instead of the fragmented f64 XLA
+    #: graph (45 ms vs ~3 ms at 1M DOF, round-5). The pure-f64 pass
+    #: REMAINS the authority: any residual that claims convergence is
+    #: re-evaluated in f64 before acceptance, preserving the 1e-8 parity
+    #: contract. None = auto (TPU + structured lattice + registered
+    #: material); True forces it where supported (interpret mode off-TPU
+    #: — tests); False disables. Mixed path only.
+    resid_df: bool | None = None
     #: "f64" — everything in f64 (the parity path, BASELINE.json:5).
     #: "mixed" — f64 residuals/updates + f32 tangent/PCG (SURVEY.md §9
     #: risk 2/5): the linear solve is a Newton DIRECTION, so f32 error there
@@ -244,6 +254,19 @@ def _residual_soa_fn(u, scale, soa64, material, bc, f_ext):
     layout too."""
     state = soa_freeze(soa64, material, u.T)
     f_int = soa_internal_force(soa64, state).T
+    r = bc.project(scale * f_ext - f_int)
+    return r, jnp.linalg.norm(r)
+
+
+def _residual_df_fn(u, scale, soa, material, bc, f_ext):
+    """In-increment residual via the double-word f32 fused element pass
+    (ops/pallas_residual.py): same (r [N,3] f64, ||r||) contract as
+    `_residual_soa_fn`, ~1e-13 relative agreement, ~15x cheaper on TPU.
+    `soa` is the F32 SoAProblem (the kernel reads its f64 tables_host
+    aux); `material` the f64 material."""
+    from fea_large_tpu.ops.pallas_residual import soa_internal_force_df
+
+    f_int = soa_internal_force_df(soa, material, u.T).T  # [N, 3] f64
     r = bc.project(scale * f_ext - f_int)
     return r, jnp.linalg.norm(r)
 
@@ -407,7 +430,7 @@ def _mixed_update_fn(u, x):
 def _mixed_newton_iter_fn(
     u, x_prev, scale, prev_norm, eta_prev, first_it, stop_newton, pcg_tol,
     eta_min, soa64, soa, material, material32, bc, f_ext, coarse,
-    *, chunk_iters, use_pallas, use_ew, resid32,
+    *, chunk_iters, use_pallas, use_ew, resid32, resid_df=False,
 ):
     """ONE fused device program per mixed-precision Newton iteration
     (round-3 host-orchestration cut): update the iterate with the previous
@@ -445,6 +468,18 @@ def _mixed_newton_iter_fn(
             scale.astype(jnp.float32) * f_ext.astype(jnp.float32) - f_int_T.T
         ) * free32
         norm = jnp.linalg.norm(b).astype(jnp.float64)
+    elif resid_df:
+        # double-word f32 element pass (~1e-13 agreement); the f64 pass
+        # confirms any convergence claim before it is acted on — the
+        # norms that DECIDE acceptance are always pure f64
+        b64, norm = _residual_df_fn(u, scale, soa, material, bc, f_ext)
+        b64, norm = jax.lax.cond(
+            norm <= stop_newton,
+            lambda _: _residual_soa_fn(u, scale, soa64, material, bc, f_ext),
+            lambda _: (b64, norm),
+            None,
+        )
+        b = b64.astype(jnp.float32)
     else:
         b64, norm = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
         b = b64.astype(jnp.float32)
@@ -465,7 +500,7 @@ def _mixed_newton_iter_fn(
 def _mixed_solve_fn(
     u0, scale, stop_rtol, stop_atol, pcg_tol, eta_min, pcg_maxiter,
     cg_budget, soa64, soa, material, material32, bc, f_ext, coarse,
-    *, max_newton, use_pallas, use_ew,
+    *, max_newton, use_pallas, use_ew, resid_df=False,
 ):
     """DEVICE-RESIDENT mixed-precision Newton solve of one load increment:
     a `lax.while_loop` over the same fused iteration body as
@@ -519,13 +554,32 @@ def _mixed_solve_fn(
             b64, n64 = _residual_soa_fn(u, scale, soa64, material, bc, f_ext)
             return b64.astype(jnp.float32), n64
 
+        def resid_dw(_):
+            b64, n64 = _residual_df_fn(u, scale, soa, material, bc, f_ext)
+            return b64.astype(jnp.float32), n64
+
+        # the double-word pass replaces the f64 pass for in-increment
+        # residuals (static routing — same flag as the host loop)
+        resid_full = resid_dw if resid_df else resid_f64
         if use_ew:
             # f32 residual only while far above the f32 rounding floor —
             # same gate as the host loop; cond executes ONE branch on TPU
             use32 = (it > 0) & (prev_norm > 3e-2 * norm0)
-            b, norm = jax.lax.cond(use32, resid_f32, resid_f64, None)
+            b, norm = jax.lax.cond(use32, resid_f32, resid_full, None)
         else:
-            b, norm = resid_f64(None)
+            use32 = jnp.bool_(False)
+            b, norm = resid_full(None)
+        if resid_df:
+            # convergence claims are confirmed by the f64 authority before
+            # they are acted on (mirror of _mixed_newton_iter_fn)
+            n0_est = jnp.where(it == 0, norm, norm0)
+            stop_est = jnp.maximum(stop_rtol * n0_est, stop_atol)
+            b, norm = jax.lax.cond(
+                ~use32 & (norm <= stop_est),
+                resid_f64,
+                lambda _, _b=b, _n=norm: (_b, _n),
+                None,
+            )
         norm0 = jnp.where(it == 0, norm, norm0)
         stop_n = jnp.maximum(stop_rtol * norm0, stop_atol)
         norms = norms.at[it].set(norm)
@@ -609,11 +663,13 @@ _mixed_prepare_jit = jax.jit(_mixed_prepare_fn, static_argnames="use_pallas")
 _mixed_chunk_jit = jax.jit(_mixed_chunk_fn, static_argnames="use_pallas")
 _mixed_newton_iter_jit = jax.jit(
     _mixed_newton_iter_fn,
-    static_argnames=("chunk_iters", "use_pallas", "use_ew", "resid32"),
+    static_argnames=(
+        "chunk_iters", "use_pallas", "use_ew", "resid32", "resid_df",
+    ),
 )
 _mixed_solve_jit = jax.jit(
     _mixed_solve_fn,
-    static_argnames=("max_newton", "use_pallas", "use_ew"),
+    static_argnames=("max_newton", "use_pallas", "use_ew", "resid_df"),
 )
 
 
@@ -679,6 +735,18 @@ class NewtonSolver:
             self._pallas = self.options.pallas or (
                 on_tpu() and struct_pallas_supported(self._soa)
             )
+            # double-word residual routing: auto on TPU where the fused
+            # kernel applies; opts.resid_df=True opts in off-TPU
+            # (interpret mode — tests), False disables
+            from fea_large_tpu.ops.pallas_residual import (
+                struct_resid_supported,
+            )
+
+            supported = struct_resid_supported(self._soa, material)
+            if self.options.resid_df is None:
+                self._resid_df = on_tpu() and supported
+            else:
+                self._resid_df = self.options.resid_df and supported
             self._material32 = jax.tree.map(
                 lambda x: x.astype(jnp.float32), material
             )
@@ -838,7 +906,7 @@ class NewtonSolver:
                 self._soa64, self._soa, self.material, self._material32,
                 self.bc, self.f_ext, self._coarse,
                 max_newton=opts.max_newton, use_pallas=self._pallas,
-                use_ew=use_ew,
+                use_ew=use_ew, resid_df=self._resid_df,
             )
             u_d = out[0]
             (norms_a, cgs_a, n_it, conv, failed_d, exhausted, poisoned,
@@ -900,6 +968,7 @@ class NewtonSolver:
                     chunk_iters=min(opts.pcg_chunk, opts.pcg_maxiter),
                     use_pallas=self._pallas,
                     use_ew=use_ew, resid32=resid32,
+                    resid_df=self._resid_df,
                 )
             )
             # the ONE blocking tunnel round trip of this Newton iteration
