@@ -656,6 +656,9 @@ def build_coarse_space(
             buckets = ScatterBuckets.build(agg[None, :], n_agg)
     else:
         dvec_np = None
+    import time as _time
+
+    _t_plan = _time.perf_counter()
     if soa is not None:
         material32 = jax.tree.map(
             lambda x: jnp.asarray(x, jnp.float32), material
@@ -664,6 +667,7 @@ def build_coarse_space(
             soa, material32, bc.free_mask, coords, agg, dvec_np, n_agg,
             modes, mesh.conn_host,
         )
+        Ac = jax.block_until_ready(Ac)
     elif modes == 3:
         Ac = _host_coarse_matrix(mesh, lam, mu, agg, n_agg, free_mask)
     else:
@@ -682,6 +686,7 @@ def build_coarse_space(
     # FEA_COARSE_INVERT=host forces the fallback (bench/regression use).
     import os
 
+    _t_ac = _time.perf_counter()
     force_host = os.environ.get("FEA_COARSE_INVERT") == "host"
     if isinstance(Ac, jnp.ndarray):
         if force_host:
@@ -707,6 +712,16 @@ def build_coarse_space(
             acinv = jax.jit(
                 lambda a: _invert_factor(jsl.cho_factor(a, lower=True)[0])
             )(jnp.asarray(Ac, dtype))
+    if os.environ.get("FEA_SETUP_TIMING"):
+        acinv = jax.block_until_ready(acinv)
+        _t_inv = _time.perf_counter()
+        import sys as _sys
+
+        print(
+            f"[setup] coarse: probe+assemble {_t_ac - _t_plan:.1f}s, "
+            f"invert {_t_inv - _t_ac:.1f}s (nc={modes * n_agg})",
+            file=_sys.stderr, flush=True,
+        )
     return CoarseSpace(
         agg=jnp.asarray(agg, INDEX_DTYPE),
         perm=jnp.asarray(perm, INDEX_DTYPE),

@@ -717,10 +717,23 @@ class NewtonSolver:
                 raise ValueError("precision='mixed' requires linear='pcg'")
             from fea_large_tpu.ops.soa import SoAProblem
 
+            import os as _os
+            import time as _time
+
+            _timing = _os.environ.get("FEA_SETUP_TIMING")
+            _t0 = _time.perf_counter()
             self._soa = SoAProblem.build(mesh, jnp.float32)
             self._soa64 = SoAProblem.build(
                 mesh, jnp.float64, share_maps_from=self._soa
             )
+            if _timing:
+                import sys as _sys
+
+                print(
+                    f"[setup] SoAProblem builds: "
+                    f"{_time.perf_counter() - _t0:.1f}s",
+                    file=_sys.stderr, flush=True,
+                )
             # structured-lattice meshes default the f32 tangent action to
             # the FUSED Pallas kernel on the TPU (measured 4.66 -> 0.99
             # ms/matvec at 1M DOF, round 4 — ops/pallas_structured.py);
