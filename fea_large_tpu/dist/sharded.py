@@ -150,8 +150,10 @@ def _host_geometry(mesh: Mesh, part: Partition):
     w = np.asarray(elem.quad_weights)
     Xe = coords[conn]  # [E, npe, 3]
     J = np.einsum("eai,qaj->eqij", Xe, dN)
-    detJ = np.linalg.det(J)
-    gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))
+    from fea_large_tpu.ops.soa import _np_inv_det_3x3
+
+    detJ, Jinv = _np_inv_det_3x3(J)
+    gradN = np.einsum("qaj,eqji->eqai", dN, Jinv)
     detJxW = detJ * w[None, :]
 
     S, El = part.n_shards, part.n_elems

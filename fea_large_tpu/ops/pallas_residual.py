@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fea_large_tpu.config import pallas_interpret
 from fea_large_tpu.ops import dfloat as df
 from fea_large_tpu.ops.pallas_structured import (
     _cell_split,
@@ -82,6 +83,49 @@ def _is_zero(c: df.Const) -> bool:
     return c.hi == 0.0 and c.lo == 0.0
 
 
+class _ConstTables:
+    """Geometry accessor for the STRUCTURED kernel: per-(tet-slot, quad)
+    tables baked as pre-split double-word compile-time constants."""
+
+    def __init__(self, g_c, V_c):
+        self.g_c = g_c  # [a][J] -> df.Const
+        self.V_c = V_c
+
+    def zero(self, a, J):
+        return _is_zero(self.g_c[a][J])
+
+    def gmul(self, x, a, J):
+        return df.mul_const(x, self.g_c[a][J])
+
+    def vmul(self, x):
+        return df.mul_const(x, self.V_c)
+
+
+class _ArrayTables:
+    """Geometry accessor for the UNSTRUCTURED kernel: per-element (hi, lo)
+    gradient/volume rows streamed through VMEM (split from the f64 host
+    tables in the XLA prologue — the kernel's operator is the f64 one to
+    ~2^-48, exactly like the baked-constant path)."""
+
+    def __init__(self, g_rows, V_pair):
+        # g_rows[(a, J)] = (hi, lo); V_pair = (hi, lo)
+        self.g = {
+            key: (h, l, df.split(h)) for key, (h, l) in g_rows.items()
+        }
+        self.V = (V_pair[0], V_pair[1], df.split(V_pair[0]))
+
+    def zero(self, a, J):
+        return False
+
+    def gmul(self, x, a, J):
+        h, l, sp = self.g[(a, J)]
+        return df.mul(x, (h, l), None, sp)
+
+    def vmul(self, x):
+        h, l, sp = self.V
+        return df.mul(x, (h, l), None, sp)
+
+
 def _sym_inverse_det(C):
     """Symmetric 3x3 double-word inverse via the adjugate; C is the
     upper-triangle dict {(i,j): df}. Returns (Cinv upper dict, detC)."""
@@ -110,15 +154,16 @@ def _sym_inverse_det(C):
     return m, det
 
 
-def _element_force_df(ue, g_c, V_c, kind, lam, mu, emit):
-    """Double-word force contribution of ONE (tet-slot, quad-point):
-    ue[i][a] df nodal displacements, g_c[a][J] / V_c pre-split constants,
-    material `kind` (0=SVK, 1=NeoHookean Ciarlet, 2=NeoHookeanVolumetric)
-    with df (lam, mu). Calls emit(a, i, df_term) for each nodal term —
-    the caller owns accumulation (pair rows here; bucket rows in the
-    unstructured variant). Mirrors ops.soa._soa_material + the force
-    contraction of soa_internal_force in scalar double-word form."""
-    npe = len(g_c)
+def _element_force_df(ue, tables, npe, kind, lam, mu, emit):
+    """Double-word force contribution of ONE quadrature point: ue[i][a]
+    df nodal displacements; `tables` a geometry accessor (_ConstTables for
+    the structured kernel's baked constants, _ArrayTables for the
+    unstructured kernel's streamed rows); material `kind` (0=SVK,
+    1=NeoHookean Ciarlet, 2=NeoHookeanVolumetric) with df (lam, mu).
+    Calls emit(a, i, df_term) for each nodal term — the caller owns
+    accumulation (pair rows / element rows). Mirrors
+    ops.soa._soa_material + the force contraction of soa_internal_force
+    in scalar double-word form."""
 
     def chain(acc, term):
         # accurate double-word accumulation (a compensated hi/f32-lo
@@ -132,9 +177,9 @@ def _element_force_df(ue, g_c, V_c, kind, lam, mu, emit):
         for J in range(3):
             acc = None
             for a in range(npe):
-                if _is_zero(g_c[a][J]):
+                if tables.zero(a, J):
                     continue
-                acc = chain(acc, df.mul_const(ue[i][a], g_c[a][J]))
+                acc = chain(acc, tables.gmul(ue[i][a], a, J))
             assert acc is not None, "degenerate gradient table column"
             F[i][J] = df.add_f32(acc, 1.0) if i == J else acc
     Fsp = [[df.split(F[i][J][0]) for J in range(3)] for i in range(3)]
@@ -194,12 +239,12 @@ def _element_force_df(ue, g_c, V_c, kind, lam, mu, emit):
             acc = None
             for m in range(3):
                 acc = chain(acc, df.mul(F[i][m], ssym(m, J), Fsp[i][m]))
-            PV_i.append(df.mul_const(acc, V_c))
+            PV_i.append(tables.vmul(acc))
         for a in range(npe):
             for J in range(3):
-                if _is_zero(g_c[a][J]):
+                if tables.zero(a, J):
                     continue
-                emit(a, i, df.mul_const(PV_i[J], g_c[a][J]))
+                emit(a, i, tables.gmul(PV_i[J], a, J))
 
 
 def _resid_kernel(q, npe, T, pair_of, gN_c, dV_c, kind, nrows, tets,
@@ -223,7 +268,10 @@ def _resid_kernel(q, npe, T, pair_of, gN_c, dV_c, kind, nrows, tets,
             for i in range(3)
         ]
         for k in range(q):
-            g_c = [[gN_c[k][a][J][t] for J in range(3)] for a in range(npe)]
+            tables = _ConstTables(
+                [[gN_c[k][a][J][t] for J in range(3)] for a in range(npe)],
+                dV_c[k][t],
+            )
 
             # row accumulation uses the ACCURATE double-word add: the
             # rows sum up to ~24 cancelling O(1) contributions, where a
@@ -233,7 +281,7 @@ def _resid_kernel(q, npe, T, pair_of, gN_c, dV_c, kind, nrows, tets,
                 r = 3 * pair_of[_t][a] + i
                 acc[r] = term if acc[r] is None else df.add(acc[r], term)
 
-            _element_force_df(ue, g_c, dV_c[k][t], kind, lam, mu, emit)
+            _element_force_df(ue, tables, npe, kind, lam, mu, emit)
     hi_rows, lo_rows = [], []
     for r in range(nrows):
         if acc[r] is None:
@@ -293,6 +341,134 @@ def _struct_resid(structure, tables_host, q, npe, kind, lam64, mu64, u_T64,
     return _scatter_pairs(st, pairs, out64, 3)
 
 
+# ---------------------------------------------------------------------------
+# unstructured variant: streamed geometry, bucketed gather/scatter in XLA
+# ---------------------------------------------------------------------------
+
+
+def _resid_kernel_unstr(q, npe, kind,
+                        ch_ref, cl_ref, gh_ref, gl_ref, vh_ref, vl_ref,
+                        lh_ref, ll_ref, mh_ref, ml_ref, oh_ref, ol_ref):
+    """One element block of the UNSTRUCTURED double-word force pass:
+    cache rows [3*npe, BE] (3a+i — ops/pallas_kernels._gather_flat order),
+    geometry rows gh/gl [q*npe*3, BE] + vh/vl [q, BE] split from the f64
+    host tables, outputs the per-element nodal force rows as (hi, lo)."""
+    ch = ch_ref[:]
+    cl = cl_ref[:]
+    gh = gh_ref[:]
+    gl = gl_ref[:]
+    vh = vh_ref[:]
+    vl = vl_ref[:]
+    lam = (lh_ref[0, 0], ll_ref[0, 0])
+    mu = (mh_ref[0, 0], ml_ref[0, 0])
+    ue = [
+        [(ch[3 * a + i], cl[3 * a + i]) for a in range(npe)]
+        for i in range(3)
+    ]
+    acc = [None] * (3 * npe)
+    for k in range(q):
+        g_rows = {
+            (a, J): (gh[(k * npe + a) * 3 + J], gl[(k * npe + a) * 3 + J])
+            for a in range(npe)
+            for J in range(3)
+        }
+        tables = _ArrayTables(g_rows, (vh[k], vl[k]))
+
+        def emit(a, i, term):
+            r = 3 * a + i
+            acc[r] = term if acc[r] is None else df.add(acc[r], term)
+
+        _element_force_df(ue, tables, npe, kind, lam, mu, emit)
+    oh_ref[:] = jnp.stack([acc[r][0] for r in range(3 * npe)])
+    ol_ref[:] = jnp.stack([acc[r][1] for r in range(3 * npe)])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q", "npe", "kind", "n_nodes", "block_e")
+)
+def _unstr_resid(q, npe, kind, n_nodes, lam64, mu64, u_T64,
+                 conn_T, buckets, gradN64, detJxW64, block_e=512):
+    """f_int [3, N] f64 for an unstructured mesh: bucketed XLA gather of
+    the split (hi, lo) displacement pairs, one Pallas element kernel over
+    E-blocks with STREAMED split geometry, f64 combine + the deterministic
+    valence-bucketed scatter. The f64 element pass this replaces measured
+    71.8 ms at 1M DOF (round-3 phase table) — the indexed gather/scatter
+    stay (the measured scalar-core floor); the double-word kernel removes
+    the fragmented f64 element math."""
+    from fea_large_tpu.ops import soa as soa_mod
+
+    E = conn_T.shape[-1]
+    uh, ul = df.from_f64(u_T64)
+    # gather both words through the index maps (rows 3a+i)
+    ue_h = jnp.stack(
+        [uh[i][conn_T[a]] for a in range(npe) for i in range(3)]
+    )
+    ue_l = jnp.stack(
+        [ul[i][conn_T[a]] for a in range(npe) for i in range(3)]
+    )
+    gh, gl = df.from_f64(gradN64.reshape(q * npe * 3, E))
+    vh, vl = df.from_f64(detJxW64)
+    lh, ll = df.from_f64(lam64)
+    mh, ml = df.from_f64(mu64)
+
+    from fea_large_tpu.ops.pallas_kernels import _pad_e
+
+    args = [
+        _pad_e(x, block_e) for x in (ue_h, ue_l, gh, gl, vh, vl)
+    ]
+    Ep = args[0].shape[-1]
+    _i0 = np.int32(0)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block_e), lambda i: (_i0, i), memory_space=pltpu.VMEM
+        )
+
+    sspec = pl.BlockSpec(
+        (1, 1), lambda i: (_i0, _i0), memory_space=pltpu.VMEM
+    )
+    oh, ol = pl.pallas_call(
+        functools.partial(_resid_kernel_unstr, q, npe, kind),
+        out_shape=[
+            jax.ShapeDtypeStruct((3 * npe, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((3 * npe, Ep), jnp.float32),
+        ],
+        grid=(Ep // block_e,),
+        in_specs=[
+            spec(3 * npe), spec(3 * npe),
+            spec(q * npe * 3), spec(q * npe * 3), spec(q), spec(q),
+            sspec, sspec, sspec, sspec,
+        ],
+        out_specs=[spec(3 * npe), spec(3 * npe)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=pallas_interpret(),
+    )(
+        *args,
+        lh.reshape(1, 1), ll.reshape(1, 1),
+        mh.reshape(1, 1), ml.reshape(1, 1),
+    )
+    out64 = (
+        oh[:, :E].astype(jnp.float64) + ol[:, :E].astype(jnp.float64)
+    )  # exact
+    fe = [[out64[3 * a + i] for a in range(npe)] for i in range(3)]
+    # deterministic nodal scatter in f64 (bucketed scatter-as-gather;
+    # falls back to the direct segment-sum inside soa_scatter semantics)
+    p_like = _ScatterShim(conn_T, buckets, n_nodes)
+    return soa_mod.soa_scatter(p_like, fe)
+
+
+class _ScatterShim:
+    """Minimal SoAProblem stand-in for `soa_scatter` (structure-free)."""
+
+    def __init__(self, conn_T, buckets, n_nodes):
+        self.conn_T = conn_T
+        self.buckets = buckets
+        self.n_nodes = n_nodes
+        self.structure = None
+
+
 def struct_resid_supported(p, material) -> bool:
     """True when the double-word structured residual applies: fused-kernel
     support (uniform lattice, safe cell split) + a registered isotropic
@@ -308,18 +484,46 @@ def struct_resid_supported(p, material) -> bool:
     )
 
 
-def soa_internal_force_df(p, material, u_T64, tgroup: int = 2):
-    """Double-word internal force on a structured-lattice SoAProblem:
-    u_T64 [3, N] f64 -> f_int [3, N] f64 agreeing with the pure-f64 XLA
-    pass (`soa_freeze` + `soa_internal_force` on the f64 problem) to
-    ~1e-13 relative. `p` is the F32 SoAProblem (its f64 `tables_host`
-    aux carries the geometry; the arrays themselves are not read)."""
+def resid_df_supported(p, material) -> bool:
+    """True when SOME double-word residual kernel applies to this mesh:
+    the structured pair-slice variant (uniform lattice) or the streamed-
+    geometry unstructured variant (any mesh — the f64 tables come from
+    the caller's f64 SoAProblem)."""
+    from fea_large_tpu.materials import (
+        NeoHookean,
+        NeoHookeanVolumetric,
+        StVenantKirchhoff,
+    )
+
+    ok_mat = isinstance(
+        material, (StVenantKirchhoff, NeoHookean, NeoHookeanVolumetric)
+    )
+    return ok_mat and (struct_pallas_supported(p) or p.structure is None)
+
+
+def soa_internal_force_df(p, material, u_T64, tgroup: int = 2, p64=None):
+    """Double-word internal force: u_T64 [3, N] f64 -> f_int [3, N] f64
+    agreeing with the pure-f64 XLA pass (`soa_freeze` +
+    `soa_internal_force` on the f64 problem) to ~1e-13 relative.
+
+    `p` is the F32 SoAProblem. Structured lattices take the pair-slice
+    kernel (geometry baked from the f64 `tables_host` aux); unstructured
+    meshes take the streamed-geometry kernel and REQUIRE `p64` (the f64
+    SoAProblem whose gradN/detJxW carry the f64 geometry)."""
     from fea_large_tpu.ops.pallas_kernels import _material_kind
 
-    assert struct_resid_supported(p, material)
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
-    return _struct_resid(
-        p.structure, p.tables_host, q, npe, _material_kind(material),
-        material.lam.astype(jnp.float64), material.mu.astype(jnp.float64),
-        u_T64, tgroup=tgroup,
+    lam64 = material.lam.astype(jnp.float64)
+    mu64 = material.mu.astype(jnp.float64)
+    if struct_resid_supported(p, material):
+        return _struct_resid(
+            p.structure, p.tables_host, q, npe, _material_kind(material),
+            lam64, mu64, u_T64, tgroup=tgroup,
+        )
+    assert p.structure is None and p64 is not None, (
+        "unstructured double-word residual needs the f64 SoAProblem"
+    )
+    return _unstr_resid(
+        q, npe, _material_kind(material), p.n_nodes, lam64, mu64, u_T64,
+        p.conn_T, p.buckets, p64.gradN, p64.detJxW,
     )

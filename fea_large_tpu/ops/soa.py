@@ -284,8 +284,12 @@ class SoAProblem:
         w = np.asarray(elem.quad_weights)
         Xe = coords[conn]
         J = np.einsum("eai,qaj->eqij", Xe, dN)
-        detJ = np.linalg.det(J)
-        gradN = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [E,q,npe,3]
+        # batched 3x3 adjugate inverse/det: np.linalg.inv/det dispatch a
+        # LAPACK call PER matrix (~1M of them at headline scale — measured
+        # ~20 s of the 24 s SoA build on this host); the closed form is
+        # pure vectorized numpy (same formulas as ops/smallmat.py)
+        detJ, Jinv = _np_inv_det_3x3(J)
+        gradN = np.einsum("qaj,eqji->eqai", dN, Jinv)  # [E,q,npe,3]
         structure = getattr(mesh, "structure", None)
         gradN_T = np.transpose(gradN, (1, 2, 3, 0))  # [q, npe, 3, E]
         detJxW_T = (detJ * w[None, :]).T  # [q, E]
@@ -343,6 +347,30 @@ class SoAProblem:
             structure=structure,
             tables_host=tables_host,
         )
+
+
+def _np_inv_det_3x3(J: np.ndarray):
+    """(det, inverse) of a [..., 3, 3] stack via the adjugate closed form
+    (host-side mirror of ops/smallmat.m3_inv_det — one vectorized pass
+    instead of per-matrix LAPACK dispatches)."""
+    a = J[..., 0, 0]; b = J[..., 0, 1]; c = J[..., 0, 2]  # noqa: E702
+    d = J[..., 1, 0]; e = J[..., 1, 1]; f = J[..., 1, 2]  # noqa: E702
+    g = J[..., 2, 0]; h = J[..., 2, 1]; i = J[..., 2, 2]  # noqa: E702
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = np.empty_like(J)
+    adj[..., 0, 0] = A
+    adj[..., 0, 1] = c * h - b * i
+    adj[..., 0, 2] = b * f - c * e
+    adj[..., 1, 0] = B
+    adj[..., 1, 1] = a * i - c * g
+    adj[..., 1, 2] = c * d - a * f
+    adj[..., 2, 0] = C
+    adj[..., 2, 1] = b * g - a * h
+    adj[..., 2, 2] = a * e - b * d
+    return det, adj / det[..., None, None]
 
 
 def _np_to_tuple(a):

@@ -470,8 +470,21 @@ def _device_coarse_matrix_probing(
     arithmetic (guarded by tests/test_multilevel.py::
     test_probing_coarse_matches_host).
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("FEA_SETUP_TIMING")
+    _t0 = _time.perf_counter()
     N = len(agg)
     color, Bn, d, cm, zsrc, dst, nc = _probe_plan(conn, agg, n_agg, modes, dvec)
+    if _timing:
+        print(
+            f"[setup]   probe plan (host): {_time.perf_counter() - _t0:.1f}s"
+            f" ({cm.shape[0]} probes)",
+            file=_sys.stderr, flush=True,
+        )
+        _t0 = _time.perf_counter()
     # jitted: the eager SoA freeze costs ~30 ms tunnel dispatch per unrolled
     # op (hundreds of ops at TET10 q=4 — measured 19 s eager vs ~1 s jitted)
     state0 = _soa_freeze_jit(soa, material32, jnp.zeros((3, N), jnp.float32))
@@ -487,6 +500,13 @@ def _device_coarse_matrix_probing(
         n_agg=n_agg,
         modes=modes,
     )  # device-resident [n_colors*modes, n_agg, modes]; layout (c, m, B, n)
+    if _timing:
+        Z = jax.block_until_ready(Z)
+        print(
+            f"[setup]   freeze+probe run (device): "
+            f"{_time.perf_counter() - _t0:.1f}s",
+            file=_sys.stderr, flush=True,
+        )
 
     # ON-DEVICE dense assembly: materializing Ac on host costs a [nc, nc]
     # f64 buffer (2.2 GB at the default 1M-DOF operating point) plus a
@@ -797,8 +817,10 @@ def _coarse_entry_chunks(mesh, lam, mu, agg, free_mask, chunk=65536):
         e = len(c)
         Xe = coords[c]
         J = np.einsum("eai,qaj->eqij", Xe, dN)
-        detJ = np.linalg.det(J)
-        g = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [e,q,npe,3]
+        from fea_large_tpu.ops.soa import _np_inv_det_3x3
+
+        detJ, Jinv = _np_inv_det_3x3(J)
+        g = np.einsum("qaj,eqji->eqai", dN, Jinv)  # [e,q,npe,3]
         V = detJ * wq[None, :]  # [e, q]
         m = free_mask[c]  # [e, npe, 3]
 
@@ -866,8 +888,10 @@ def _host_k0_csr(mesh, lam, mu, free_mask, chunk=32768):
         e = len(c)
         Xe = coords[c]
         J = np.einsum("eai,qaj->eqij", Xe, dN)
-        detJ = np.linalg.det(J)
-        g = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [e,q,npe,3]
+        from fea_large_tpu.ops.soa import _np_inv_det_3x3
+
+        detJ, Jinv = _np_inv_det_3x3(J)
+        g = np.einsum("qaj,eqji->eqai", dN, Jinv)  # [e,q,npe,3]
         V = detJ * w[None, :]
         gV = g * V[:, :, None, None]
         # linear-elastic element tangent at u=0 (both shipped hyperelastic
@@ -955,8 +979,10 @@ def _host_coarse_matrix_reference(mesh, lam, mu, agg, n_agg, free_mask, chunk=81
         c = conn[s : s + chunk]
         Xe = coords[c]
         J = np.einsum("eai,qaj->eqij", Xe, dN)
-        detJ = np.linalg.det(J)
-        g = np.einsum("qaj,eqji->eqai", dN, np.linalg.inv(J))  # [e,q,npe,3]
+        from fea_large_tpu.ops.soa import _np_inv_det_3x3
+
+        detJ, Jinv = _np_inv_det_3x3(J)
+        g = np.einsum("qaj,eqji->eqai", dN, Jinv)  # [e,q,npe,3]
         V = detJ * w[None, :]
         gV = g * V[:, :, None, None]
         # linear-elastic element tangent at u=0 (docstring formula)

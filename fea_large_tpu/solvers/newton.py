@@ -258,15 +258,16 @@ def _residual_soa_fn(u, scale, soa64, material, bc, f_ext):
     return r, jnp.linalg.norm(r)
 
 
-def _residual_df_fn(u, scale, soa, material, bc, f_ext):
+def _residual_df_fn(u, scale, soa, soa64, material, bc, f_ext):
     """In-increment residual via the double-word f32 fused element pass
     (ops/pallas_residual.py): same (r [N,3] f64, ||r||) contract as
     `_residual_soa_fn`, ~1e-13 relative agreement, ~15x cheaper on TPU.
-    `soa` is the F32 SoAProblem (the kernel reads its f64 tables_host
-    aux); `material` the f64 material."""
+    `soa` is the F32 SoAProblem (structured lattices bake its f64
+    tables_host aux; unstructured meshes stream `soa64`'s f64 geometry);
+    `material` the f64 material."""
     from fea_large_tpu.ops.pallas_residual import soa_internal_force_df
 
-    f_int = soa_internal_force_df(soa, material, u.T).T  # [N, 3] f64
+    f_int = soa_internal_force_df(soa, material, u.T, p64=soa64).T
     r = bc.project(scale * f_ext - f_int)
     return r, jnp.linalg.norm(r)
 
@@ -472,7 +473,7 @@ def _mixed_newton_iter_fn(
         # double-word f32 element pass (~1e-13 agreement); the f64 pass
         # confirms any convergence claim before it is acted on — the
         # norms that DECIDE acceptance are always pure f64
-        b64, norm = _residual_df_fn(u, scale, soa, material, bc, f_ext)
+        b64, norm = _residual_df_fn(u, scale, soa, soa64, material, bc, f_ext)
         b64, norm = jax.lax.cond(
             norm <= stop_newton,
             lambda _: _residual_soa_fn(u, scale, soa64, material, bc, f_ext),
@@ -555,7 +556,9 @@ def _mixed_solve_fn(
             return b64.astype(jnp.float32), n64
 
         def resid_dw(_):
-            b64, n64 = _residual_df_fn(u, scale, soa, material, bc, f_ext)
+            b64, n64 = _residual_df_fn(
+                u, scale, soa, soa64, material, bc, f_ext
+            )
             return b64.astype(jnp.float32), n64
 
         # the double-word pass replaces the f64 pass for in-increment
@@ -752,10 +755,10 @@ class NewtonSolver:
             # kernel applies; opts.resid_df=True opts in off-TPU
             # (interpret mode — tests), False disables
             from fea_large_tpu.ops.pallas_residual import (
-                struct_resid_supported,
+                resid_df_supported,
             )
 
-            supported = struct_resid_supported(self._soa, material)
+            supported = resid_df_supported(self._soa, material)
             if self.options.resid_df is None:
                 self._resid_df = on_tpu() and supported
             else:

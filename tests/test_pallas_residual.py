@@ -80,6 +80,29 @@ def test_df_tet_group_split_invariant(lattice):
     assert rel < 1e-15, rel
 
 
+def test_df_force_unstructured_matches_f64():
+    # the streamed-geometry variant (any mesh): TET4 5-tet box — the
+    # unstructured code path (conn_T gathers, bucketed scatter)
+    from fea_large_tpu.mesh.generators import box_mesh
+    from fea_large_tpu.ops.pallas_residual import (
+        resid_df_supported,
+        soa_internal_force_df,
+        struct_resid_supported,
+    )
+
+    mesh = box_mesh(3, 3, 3, element_type="tet4")
+    p32 = SoAProblem.build(mesh, jnp.float32)
+    p64 = SoAProblem.build(mesh, jnp.float64, share_maps_from=p32)
+    mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
+    assert not struct_resid_supported(p32, mat)
+    assert resid_df_supported(p32, mat)
+    u_T = jnp.asarray(_smooth_u(mesh).T)
+    f_df = soa_internal_force_df(p32, mat, u_T, p64=p64)
+    f_64 = soa_internal_force(p64, soa_freeze(p64, mat, u_T))
+    rel = float(jnp.linalg.norm(f_df - f_64) / jnp.linalg.norm(f_64))
+    assert rel < 1e-13, rel
+
+
 def test_newton_resid_df_same_solution(lattice):
     # a full mixed Newton solve with resid_df forced on (interpret mode)
     # must converge to the SAME solution as the default mixed path: the
@@ -123,7 +146,9 @@ def test_resid_df_fn_contract():
     u = jnp.asarray(_smooth_u(mesh))
     f_ext = jnp.zeros_like(u)
     scale = jnp.asarray(1.0)
-    r_df, n_df = newton_mod._residual_df_fn(u, scale, p32, mat, bc, f_ext)
+    r_df, n_df = newton_mod._residual_df_fn(
+        u, scale, p32, p64, mat, bc, f_ext
+    )
     r_64, n_64 = newton_mod._residual_soa_fn(u, scale, p64, mat, bc, f_ext)
     assert r_df.shape == r_64.shape and r_df.dtype == r_64.dtype
     assert float(jnp.linalg.norm(r_df - r_64)) <= 1e-13 * float(n_64)
