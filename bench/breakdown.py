@@ -31,6 +31,15 @@ from fea_large_tpu.ops.pallas_structured import (
     soa_apply_tangent_struct_pallas as _struct_pallas,
     struct_pallas_supported as _struct_ok,
 )
+from fea_large_tpu.ops.pallas_residual import (
+    resid_df_supported as _df_ok,
+    soa_internal_force_df as _df_force,
+)
+from fea_large_tpu.ops.pallas_kernels import (
+    soa_apply_tangent_pallas as _apply_pallas,
+    soa_freeze_pallas as _freeze_pallas,
+    soa_internal_force_pallas as _force_pallas,
+)
 from fea_large_tpu.solvers.linear import apply_block_jacobi, jacobi_inverse_blocks
 
 
@@ -108,6 +117,52 @@ def main(n=16):
         ),
         "jacobi_apply": loop_time(
             lambda v: dep(v, apply_block_jacobi(inv_blocks, free32, v)), v0
+        ),
+        # double-word residual pass (ops/pallas_residual.py, round 5):
+        # the in-increment replacement for the f64 element pass above
+        **(
+            {
+                "residual_df_pass": loop_time(
+                    lambda v: dep(
+                        v,
+                        _df_force(
+                            soa32, mat64, v.T.astype(jnp.float64),
+                            p64=soa64,
+                        ),
+                    ),
+                    v0,
+                    reps=5,
+                )
+            }
+            if _df_ok(soa32, mat64)
+            else {}
+        ),
+        # unstructured Pallas element kernels head-to-head (round-5 item
+        # 6 adjudication; on structured meshes these route to the fused
+        # kernels and duplicate rows above, so only bench them on 5tet)
+        **(
+            {
+                "freeze_pallas": loop_time(
+                    lambda v: dep(
+                        v, _freeze_pallas(soa32, mat32, v.T).S
+                    ),
+                    v0,
+                    reps=10,
+                ),
+                "matvec_pallas_unstr": loop_time(
+                    lambda v: dep(
+                        v, _apply_pallas(soa32, state, v.T)
+                    ),
+                    v0,
+                ),
+                "force_pallas_from_state": loop_time(
+                    lambda v: dep(v, _force_pallas(soa32, state)),
+                    v0,
+                    reps=10,
+                ),
+            }
+            if soa32.structure is None
+            else {}
         ),
         # f32 internal force from an existing freeze state — the cost of a
         # resid32 residual pass (round-3 fused Newton iteration) on top of

@@ -696,6 +696,9 @@ class NewtonSolver:
         self.material = material
         self.bc = bc
         self.options = options or SolverOptions()
+        #: count of two-level -> block-Jacobi preconditioner fallbacks
+        #: taken on CG breakdown (mirror of the sharded solvers' counter)
+        self.precond_fallbacks = 0
         if self.options.linear not in ("direct", "pcg", "pcg_bcsr"):
             raise ValueError(f"unknown linear solver {self.options.linear!r}")
         if self.options.pallas and self.options.precision != "mixed":
@@ -1041,11 +1044,45 @@ class NewtonSolver:
                 chunk_iters=opts.pcg_chunk, maxiter=opts.pcg_maxiter,
                 first_fetch=(k0, rr0, ok0, stop0),
             )
+            accept = bool(lin_ok) or float(lin_rel) <= 1e-3
+            if not accept and self._coarse is not None:
+                # two-level CG breakdown: retry THIS solve with plain
+                # block-Jacobi (round-4 ADVICE: a bf16/near-indefinite
+                # coarse term can break CG while Jacobi alone stays SPD —
+                # mirror of the sharded solver's fallback, which this
+                # path also serves as the device loop's failure handler)
+                def prepare_fb(x0, _u=u, _b=b, _tol=float(tol_v)):
+                    st, cell["state"], cell["inv_blocks"] = (
+                        _mixed_prepare_jit(
+                            _u, scale, self._soa64, self._soa,
+                            self.material, self._material32, self.bc,
+                            self.f_ext, jnp.asarray(_tol, jnp.float32),
+                            None, x0, use_pallas=self._pallas, r64=_b,
+                        )
+                    )
+                    return st
+
+                def chunk_fb(st, n):
+                    return _mixed_chunk_jit(
+                        st, self._soa, cell["state"], cell["inv_blocks"],
+                        free32, None, jnp.int32(n),
+                        use_pallas=self._pallas,
+                    )
+
+                x_fb, it_fb, ok_fb, rel_fb = drive_chunked_pcg(
+                    prepare_fb, chunk_fb, tol=float(tol_v),
+                    chunk_iters=opts.pcg_chunk, maxiter=opts.pcg_maxiter,
+                )
+                self.precond_fallbacks += 1
+                lin_iters = int(lin_iters) + int(it_fb)
+                accept = bool(ok_fb) or float(rel_fb) <= 1e-3
+                if accept:
+                    x = x_fb
             pcg_iters.append(int(lin_iters))
             x_prev = x
             # acceptance: see the generic loop below (inexact Newton
             # tolerates stagnation that made substantial progress)
-            if not (bool(lin_ok) or float(lin_rel) <= 1e-3):
+            if not accept:
                 break
         rec = IncrementRecord(
             float(scale), len(norms), norms, pcg_iters,

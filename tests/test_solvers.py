@@ -565,3 +565,35 @@ def test_device_forcing_mirrors_host_newton_lin_tol():
             assert saw_safeguard
         if eta_min > 0.0:
             assert saw_eta_min
+
+
+def test_two_level_breakdown_falls_back_to_jacobi():
+    """Single-device mirror of the sharded two-level -> jacobi fallback
+    (round-4 ADVICE item 1): a CORRUPTED coarse inverse (indefinite
+    -identity) guarantees CG breakdown through the two-level
+    preconditioner; the host loop must retry the linear solve with plain
+    block-Jacobi, count the fallback, and still converge Newton."""
+    import dataclasses
+
+    mesh, mat, bc = _device_loop_problem()
+    solver = NewtonSolver(
+        mesh, mat, bc,
+        options=SolverOptions(
+            linear="pcg", precision="mixed", preconditioner="two_level",
+            forcing="ew", newton_rtol=1e-9, device_loop=False,
+        ),
+    )
+    # poison the coarse term: -I makes M indefinite -> rz < 0 breakdown
+    nc = solver._coarse.acinv.shape[0]
+    solver._coarse = dataclasses.replace(
+        solver._coarse,
+        acinv=-jnp.eye(nc, dtype=solver._coarse.acinv.dtype) * 1e3,
+    )
+    u, ok, rec = solver._newton(
+        jnp.zeros((mesh.n_nodes, 3), mesh.coords.dtype), 1.0
+    )
+    assert ok, f"Newton failed even with the fallback: {rec.residual_norms}"
+    assert solver.precond_fallbacks >= 1, (
+        "corrupted two-level coarse should have triggered the jacobi "
+        "fallback"
+    )

@@ -270,13 +270,24 @@ def test_buckled_beam_full_solve_completes():
     )
     res = solver.solve()
     assert res.history, "solve returned no increment records"
-    if res.converged:
-        norm = float(
-            solver._residual_norm(
-                solver.data, solver.soa, res.u, jnp.asarray(1.0)
-            )
+    # pin the KNOWN-GOOD outcome (round-5 VERDICT weak 4): today the
+    # solve CONVERGES via the two-level -> jacobi breakdown fallback; a
+    # regression that silently exhausts bisection instead must fail here,
+    # not hide behind an `if res.converged` guard
+    assert res.converged, (
+        f"buckled-beam solve regressed to non-convergence: "
+        f"{[r.residual_norms for r in res.history]}"
+    )
+    assert solver.precond_fallbacks >= 1, (
+        "expected the two-level CG breakdown fallback on the way through "
+        "the buckling threshold"
+    )
+    norm = float(
+        solver._residual_norm(
+            solver.data, solver.soa, res.u, jnp.asarray(1.0)
         )
-        assert norm <= 1e-8 * max(1.0, res.history[0].residual_norms[0])
+    )
+    assert norm <= 1e-8 * max(1.0, res.history[0].residual_norms[0])
 
 
 def test_factory_routes_by_structure():
