@@ -485,20 +485,16 @@ def struct_resid_supported(p, material) -> bool:
 
 
 def resid_df_supported(p, material) -> bool:
-    """True when SOME double-word residual kernel applies to this mesh:
-    the structured pair-slice variant (uniform lattice) or the streamed-
-    geometry unstructured variant (any mesh — the f64 tables come from
-    the caller's f64 SoAProblem)."""
-    from fea_large_tpu.materials import (
-        NeoHookean,
-        NeoHookeanVolumetric,
-        StVenantKirchhoff,
-    )
-
-    ok_mat = isinstance(
-        material, (StVenantKirchhoff, NeoHookean, NeoHookeanVolumetric)
-    )
-    return ok_mat and (struct_pallas_supported(p) or p.structure is None)
+    """True when the ROUTED double-word residual applies: the structured
+    pair-slice variant only. The unstructured streamed-geometry variant
+    (`_unstr_resid`) exists and is correct, but MEASURED SLOWER than the
+    f64 XLA pass it would replace (135.9 vs 71.8 ms at 945k DOF 5tet,
+    round-5 BENCH_NOTES): the unstructured residual is indexed-op-bound
+    (scalar-core gather/scatter floor — CLAUDE.md), and the double-word
+    form pays TWO f32 gathers plus an f64 scatter where the f64 pass
+    pays one of each. Routed nowhere; kept as the measured alternative
+    and for meshes where a future indexed-op win changes the balance."""
+    return struct_resid_supported(p, material)
 
 
 def soa_internal_force_df(p, material, u_T64, tgroup: int = 2, p64=None):

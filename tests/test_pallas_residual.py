@@ -95,7 +95,9 @@ def test_df_force_unstructured_matches_f64():
     p64 = SoAProblem.build(mesh, jnp.float64, share_maps_from=p32)
     mat = NeoHookean(jnp.asarray(1.0), jnp.asarray(0.6))
     assert not struct_resid_supported(p32, mat)
-    assert resid_df_supported(p32, mat)
+    # correct but NOT routed: measured slower than the f64 pass it would
+    # replace (indexed-op-bound — see resid_df_supported docstring)
+    assert not resid_df_supported(p32, mat)
     u_T = jnp.asarray(_smooth_u(mesh).T)
     f_df = soa_internal_force_df(p32, mat, u_T, p64=p64)
     f_64 = soa_internal_force(p64, soa_freeze(p64, mat, u_T))
