@@ -57,6 +57,23 @@ def loop_time(body, v0, reps=20):
     return (time.perf_counter() - t1) / reps
 
 
+def _xla_matvec_time(soa32, state, v0):
+    from fea_large_tpu.ops import soa as _soa_mod
+
+    orig = _soa_mod._struct_fused
+    _soa_mod._struct_fused = lambda p: False
+    try:
+
+        def dep(v, x):
+            return v * 0.999 + (1e-12 * jnp.sum(x)).astype(v.dtype)
+
+        return loop_time(
+            lambda v: dep(v, soa_apply_tangent(soa32, state, v.T)), v0
+        )
+    finally:
+        _soa_mod._struct_fused = orig
+
+
 def main(n=16):
     import os
 
@@ -98,9 +115,9 @@ def main(n=16):
         "freeze_f32": loop_time(
             lambda v: dep(v, soa_freeze(soa32, mat32, v.T).S), v0, reps=10
         ),
-        "matvec_f32": loop_time(
-            lambda v: dep(v, soa_apply_tangent(soa32, state, v.T)), v0
-        ),
+        # the XLA mirror explicitly (soa_apply_tangent routes to the fused
+        # kernel on TPU lattices since round 5 — keep this row's meaning)
+        "matvec_f32": _xla_matvec_time(soa32, state, v0),
         # the fused structured Pallas kernel when the mesh supports it
         # (ops/pallas_structured.py — the round-4 TPU default)
         **(

@@ -666,7 +666,17 @@ def soa_internal_force(p: SoAProblem, state: SoAState) -> jnp.ndarray:
 
 def soa_apply_tangent(p: SoAProblem, state: SoAState, v_T: jnp.ndarray) -> jnp.ndarray:
     """(K v) [3, N]: consistent-tangent action, material + geometric
-    (SURVEY.md §5.5 matrix-free action), all full-lane [E]-vector ops."""
+    (SURVEY.md §5.5 matrix-free action). Routes to the fused structured
+    Pallas kernel on TPU lattices like its freeze/force/diag siblings
+    (round 5 — previously only `_mixed_matvec` routed, so direct callers
+    such as the coarse-probing sweep paid the 5.4 ms XLA graph instead
+    of the 1.0 ms kernel); the XLA body below is the reference mirror."""
+    if _struct_fused(p):
+        from fea_large_tpu.ops.pallas_structured import (
+            soa_apply_tangent_struct_pallas,
+        )
+
+        return soa_apply_tangent_struct_pallas(p, state, v_T)
     q, npe = p.gradN.shape[0], p.gradN.shape[1]
     ve = soa_gather(p, v_T)
     out = [[0.0] * npe for _ in range(3)]

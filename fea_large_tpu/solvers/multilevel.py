@@ -340,9 +340,9 @@ def _soa_freeze_impl(soa, material32, u_T):
 _soa_freeze_jit = jax.jit(_soa_freeze_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("n_agg", "modes"))
+@functools.partial(jax.jit, static_argnames=("n_agg", "modes", "pool"))
 def _probe_run(soa, state0, free32, agg_j, Bn, dvec, color_node, cm,
-               *, n_agg: int, modes: int):
+               *, n_agg: int, modes: int, pool=None):
     """Sequential probe sweep (lax.map) on device: for each (color, mode)
     pair build the probe vector from the per-node tables, apply the masked
     frozen tangent action, restrict per aggregate. Module-level jit with
@@ -362,6 +362,11 @@ def _probe_run(soa, state0, free32, agg_j, Bn, dvec, color_node, cm,
             t = jnp.concatenate([y, jnp.cross(dvec, y)], 1)
             if modes == 12:
                 t = jnp.concatenate([t, _strain_restrict(dvec, y)], 1)
+        if pool is not None:
+            # structured lattices: pooled reshape-sum restrict — no
+            # indexed ops in the probe sweep (round 5; same aggregate
+            # assignment as agg_j by construction, ops/pooling.py)
+            return pool.restrict(t)
         return jax.ops.segment_sum(t, agg_j, num_segments=n_agg)
 
     return jax.lax.map(probe, cm)
@@ -452,7 +457,8 @@ def _probe_plan(conn, agg, n_agg, modes, dvec):
 
 
 def _device_coarse_matrix_probing(
-    soa, material32, free_mask, coords, agg, dvec, n_agg, modes, conn
+    soa, material32, free_mask, coords, agg, dvec, n_agg, modes, conn,
+    pool=None,
 ):
     """Galerkin coarse matrix Ac = P^T (M K M) P assembled ON DEVICE by
     graph-coloring probing: one masked f32 tangent-action probe (the SAME
@@ -499,6 +505,7 @@ def _device_coarse_matrix_probing(
         jnp.asarray(cm),
         n_agg=n_agg,
         modes=modes,
+        pool=pool,
     )  # device-resident [n_colors*modes, n_agg, modes]; layout (c, m, B, n)
     if _timing:
         Z = jax.block_until_ready(Z)
@@ -685,7 +692,7 @@ def build_coarse_space(
         )
         Ac = _device_coarse_matrix_probing(
             soa, material32, bc.free_mask, coords, agg, dvec_np, n_agg,
-            modes, mesh.conn_host,
+            modes, mesh.conn_host, pool=pool,
         )
         Ac = jax.block_until_ready(Ac)
     elif modes == 3:
