@@ -258,18 +258,29 @@ def _residual_soa_fn(u, scale, soa64, material, bc, f_ext):
     return r, jnp.linalg.norm(r)
 
 
+#: rigorous-with-margin bound on the double-word residual pass's error,
+#: RELATIVE to ||f_int||: measured 1e-13 (4^3) to 5e-13 (238k DOF,
+#: sqrt(1/h) growth from the f64 reference's interior cancellation —
+#: bench.py --check records it every round); 1e-11 carries >20x margin.
+#: Used to skip the f64 confirmation pass when even a worst-case
+#: double-word error could not flip the convergence decision.
+_DF_ERR_REL = 1e-11
+
+
 def _residual_df_fn(u, scale, soa, soa64, material, bc, f_ext):
     """In-increment residual via the double-word f32 fused element pass
     (ops/pallas_residual.py): same (r [N,3] f64, ||r||) contract as
-    `_residual_soa_fn`, ~1e-13 relative agreement, ~15x cheaper on TPU.
-    `soa` is the F32 SoAProblem (structured lattices bake its f64
-    tables_host aux; unstructured meshes stream `soa64`'s f64 geometry);
-    `material` the f64 material."""
+    `_residual_soa_fn` plus the absolute error bound of the pass
+    (_DF_ERR_REL * ||f_int||), ~1e-13 relative agreement, ~15x cheaper
+    on TPU. `soa` is the F32 SoAProblem (structured lattices bake its
+    f64 tables_host aux; unstructured meshes stream `soa64`'s f64
+    geometry); `material` the f64 material."""
     from fea_large_tpu.ops.pallas_residual import soa_internal_force_df
 
     f_int = soa_internal_force_df(soa, material, u.T, p64=soa64).T
     r = bc.project(scale * f_ext - f_int)
-    return r, jnp.linalg.norm(r)
+    err = _DF_ERR_REL * jnp.linalg.norm(f_int)
+    return r, jnp.linalg.norm(r), err
 
 
 def _mixed_matvec(soa, state, free32_T, v, use_pallas=False):
@@ -470,12 +481,17 @@ def _mixed_newton_iter_fn(
         ) * free32
         norm = jnp.linalg.norm(b).astype(jnp.float64)
     elif resid_df:
-        # double-word f32 element pass (~1e-13 agreement); the f64 pass
-        # confirms any convergence claim before it is acted on — the
-        # norms that DECIDE acceptance are always pure f64
-        b64, norm = _residual_df_fn(u, scale, soa, soa64, material, bc, f_ext)
+        # double-word f32 element pass. A convergence claim is confirmed
+        # by the pure-f64 pass ONLY when the claim is within the pass's
+        # rigorous error bound of the threshold — when norm_df clears
+        # stop by more than `err`, no admissible double-word error could
+        # flip the decision and the 48 ms f64 pass is provably redundant
+        # (the confirm fires on the knife-edge cases alone).
+        b64, norm, err = _residual_df_fn(
+            u, scale, soa, soa64, material, bc, f_ext
+        )
         b64, norm = jax.lax.cond(
-            norm <= stop_newton,
+            (norm <= stop_newton) & (norm > stop_newton - err),
             lambda _: _residual_soa_fn(u, scale, soa64, material, bc, f_ext),
             lambda _: (b64, norm),
             None,
@@ -556,29 +572,40 @@ def _mixed_solve_fn(
             return b64.astype(jnp.float32), n64
 
         def resid_dw(_):
-            b64, n64 = _residual_df_fn(
+            b64, n64, e64 = _residual_df_fn(
                 u, scale, soa, soa64, material, bc, f_ext
             )
-            return b64.astype(jnp.float32), n64
+            return b64.astype(jnp.float32), n64, e64
 
         # the double-word pass replaces the f64 pass for in-increment
         # residuals (static routing — same flag as the host loop)
-        resid_full = resid_dw if resid_df else resid_f64
+        def resid_f64_e(_):
+            b, n = resid_f64(None)
+            return b, n, jnp.zeros((), jnp.float64)
+
+        def resid_f32_e(_):
+            b, n = resid_f32(None)
+            return b, n, jnp.zeros((), jnp.float64)
+
+        resid_full = resid_dw if resid_df else resid_f64_e
         if use_ew:
             # f32 residual only while far above the f32 rounding floor —
             # same gate as the host loop; cond executes ONE branch on TPU
             use32 = (it > 0) & (prev_norm > 3e-2 * norm0)
-            b, norm = jax.lax.cond(use32, resid_f32, resid_full, None)
+            b, norm, dferr = jax.lax.cond(
+                use32, resid_f32_e, resid_full, None
+            )
         else:
             use32 = jnp.bool_(False)
-            b, norm = resid_full(None)
+            b, norm, dferr = resid_full(None)
         if resid_df:
-            # convergence claims are confirmed by the f64 authority before
-            # they are acted on (mirror of _mixed_newton_iter_fn)
+            # knife-edge convergence claims are confirmed by the f64
+            # authority before they are acted on (mirror of
+            # _mixed_newton_iter_fn — see the margin rule there)
             n0_est = jnp.where(it == 0, norm, norm0)
             stop_est = jnp.maximum(stop_rtol * n0_est, stop_atol)
             b, norm = jax.lax.cond(
-                ~use32 & (norm <= stop_est),
+                ~use32 & (norm <= stop_est) & (norm > stop_est - dferr),
                 resid_f64,
                 lambda _, _b=b, _n=norm: (_b, _n),
                 None,

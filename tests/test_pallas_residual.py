@@ -148,9 +148,12 @@ def test_resid_df_fn_contract():
     u = jnp.asarray(_smooth_u(mesh))
     f_ext = jnp.zeros_like(u)
     scale = jnp.asarray(1.0)
-    r_df, n_df = newton_mod._residual_df_fn(
+    r_df, n_df, err = newton_mod._residual_df_fn(
         u, scale, p32, p64, mat, bc, f_ext
     )
     r_64, n_64 = newton_mod._residual_soa_fn(u, scale, p64, mat, bc, f_ext)
     assert r_df.shape == r_64.shape and r_df.dtype == r_64.dtype
     assert float(jnp.linalg.norm(r_df - r_64)) <= 1e-13 * float(n_64)
+    # the returned error bound must dominate the actual deviation with
+    # its design margin (it guards the skip-f64-confirm decision)
+    assert float(jnp.abs(n_df - n_64)) < 0.05 * float(err)
