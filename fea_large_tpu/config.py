@@ -29,7 +29,31 @@ if os.environ.get("FEA_PLATFORM"):
 
 # Persistent compilation cache: XLA compiles of large f64 graphs are
 # multi-minute on the tunneled TPU backend; cache them across processes.
-_cache_dir = os.environ.get("FEA_COMPILE_CACHE", "/tmp/fea_jax_cache")
+# The default directory is scoped by a hash of the HOST CPU feature set:
+# XLA:CPU AOT executables record the compile machine's features, and
+# loading an entry produced on a different host SEGFAULTS outright
+# (measured 2026-08-21: cpu_aot_loader machine-feature-mismatch warnings
+# followed by a segfault inside compilation_cache.get_executable_and_time
+# mid-test-suite). A feature-scoped directory makes foreign entries
+# invisible instead of fatal.
+
+
+def _host_feature_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nohost"
+
+
+_cache_dir = os.environ.get(
+    "FEA_COMPILE_CACHE", f"/tmp/fea_jax_cache-{_host_feature_tag()}"
+)
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
