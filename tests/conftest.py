@@ -41,3 +41,18 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(20260816)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables + tracing caches after every test module.
+
+    The full suite compiles hundreds of XLA:CPU executables in one
+    process; at the observed high-water mark the LLVM-backed compile of
+    the structured-sharded solve program segfaulted reproducibly
+    (round 5 — in-suite only; the same test passes standalone). Modules
+    rarely share compiled programs, and the persistent on-disk cache
+    absorbs genuine reuse, so per-module clearing costs little and keeps
+    the process far from the crash regime."""
+    yield
+    jax.clear_caches()
